@@ -1,0 +1,95 @@
+"""Vectorized normalization + validation of change events.
+
+Re-expresses the reference's per-record normalization stage
+(``loading/ColumnMetaMapper.java:15-88`` — null sentinels, trims, case
+folds, type casts) and its per-row error routing
+(``loading/ColumnMetaSource.java:81-98`` + ``LoadingErrorRegistry``) as:
+
+* built-in Column expressions for everything expressible (JVM-side,
+  whole-stage codegen), and
+* ONE Arrow-batched pandas UDF for text normalization — the mandated
+  "vectorized pandas/Arrow UDFs, no per-row Python" slow path.
+
+The text normalization is intentionally SQL-expressible (control-char
+strip → whitespace collapse → trim) so the DuckDB oracle can reproduce
+it bit-for-bit; ``NORMALIZE_TEXT_SQL`` is the oracle twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL
+
+# DuckDB twin of normalize_text_udf (keep in lockstep with the UDF!).
+NORMALIZE_TEXT_SQL = (
+    "nullif(trim(regexp_replace(regexp_replace({col}, '[\\x00-\\x1f]', ' ', 'g'), "
+    "' +', ' ', 'g')), '')"
+)
+
+
+@pandas_udf(T.StringType())
+def normalize_text_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched text cleanup: control chars -> space, collapse runs
+    of whitespace, trim; empty -> null. All pandas .str ops (vectorized
+    C paths), zero per-row Python."""
+    out = (
+        s.str.replace(r"[\x00-\x1f]", " ", regex=True)
+        .str.replace(r" +", " ", regex=True)
+        .str.strip()
+    )
+    return out.mask(out == "", None)
+
+
+def null_sentinels(col: Column) -> Column:
+    """'' / 'null' (case-insensitive) -> NULL — the reference's sentinel
+    convention (``ColumnMetaMapper.java:22-30``)."""
+    return F.when(F.lower(F.trim(col)).isin("", "null"), F.lit(None)).otherwise(col)
+
+
+def valid_event_pred() -> Column:
+    """Structural validity of a change event. Kept as a single reusable
+    predicate so the engine, the tests, and the DuckDB oracle agree."""
+    return (
+        F.col("conv_id").isNotNull()
+        & (F.lower(F.trim(F.col("conv_id"))) != "null")
+        & (F.trim(F.col("conv_id")) != "")
+        & F.col("turn_idx").isNotNull()
+        & (F.col("turn_idx") >= 0)
+        & F.col(LSN_COL).isNotNull()
+        & F.col(OP_COL).isin("I", "U", "D")
+    )
+
+
+# Oracle twin of valid_event_pred (DuckDB SQL).
+VALID_EVENT_SQL = (
+    "conv_id IS NOT NULL AND lower(trim(conv_id)) <> 'null' AND trim(conv_id) <> '' "
+    "AND turn_idx IS NOT NULL AND turn_idx >= 0 AND {lsn} IS NOT NULL "
+    "AND {op} IN ('I','U','D')"
+)
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Vectorized normalize: sentinel nulls on role/tool, text cleanup
+    via the Arrow UDF. Column set is preserved (including any additive
+    schema-evolution columns, which pass through untouched)."""
+    out = df
+    if "role" in df.columns:
+        out = out.withColumn("role", F.lower(F.trim(null_sentinels(F.col("role")))))
+    if "tool" in df.columns:
+        out = out.withColumn("tool", null_sentinels(F.col("tool")))
+    if "text" in df.columns:
+        out = out.withColumn("text", normalize_text_udf(F.col("text")))
+    return out
+
+
+def split_dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) — malformed rows leave the main flow but are
+    never dropped silently (reference: error registry + error CSV,
+    ``loading/ColumnMetaErrorWriter.java:21-38``)."""
+    pred = valid_event_pred()
+    return df.filter(pred), df.filter(~F.coalesce(pred, F.lit(False)))

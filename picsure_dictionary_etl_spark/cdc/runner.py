@@ -1,0 +1,183 @@
+"""Micro-batch CDC runner: LSN-sliced replay with exactly-once commits,
+checkpointed high-watermark, dead-letter routing, schema evolution, and
+per-commit lineage JSONL.
+
+This is the engine analog of the reference's ``/load/initialize``
+lifecycle (``loading/DictionaryLoaderService.java:33-64`` +
+``ColumnMetaGroupingPipeline.java:25-59``): its pull-iterator +
+virtual-thread choreography collapses into Spark stage parallelism; its
+single-flight lock collapses into a single-driver micro-batch loop over
+idempotent commits.
+
+Resume contract: the LakeTable snapshot carries the authoritative
+watermark + applied batch ids (committed atomically with the data); a
+side checkpoint JSON mirrors it for fast inspection. Killing the runner
+between any two statements and restarting reproduces the identical final
+state — verified by tests/test_exactly_once.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from picsure_dictionary_etl_spark.cdc.envelope import (
+    TRANSCRIPT_KEY,
+    transcript_table_schema,
+)
+from picsure_dictionary_etl_spark.cdc.normalize import normalize_events, split_dead_letter
+from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL, MergeResult, merge_into
+from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+SYSTEM_COLS = {LSN_COL, OP_COL}
+
+
+@dataclass
+class RunnerConfig:
+    table_root: str
+    dead_letter_dir: str | None = None
+    lineage_path: str | None = None  # JSONL, one line per commit
+    bucket_count: int = 16
+    salt_partitions: int | None = None  # spread hot buckets over N write tasks
+    normalize: bool = True
+    extra_fields: list[T.StructField] = field(default_factory=list)
+
+
+class CdcRunner:
+    def __init__(self, spark: SparkSession, config: RunnerConfig):
+        self.spark = spark
+        self.config = config
+        if LakeTable.exists(config.table_root):
+            self.table = LakeTable.load(spark, config.table_root)
+        else:
+            self.table = LakeTable.create(
+                spark,
+                config.table_root,
+                schema=transcript_table_schema(config.extra_fields),
+                key_cols=TRANSCRIPT_KEY,
+                bucket_by=["conv_id"],
+                bucket_count=config.bucket_count,
+            )
+
+    # ---------- public API ----------
+
+    def watermark(self) -> int:
+        return self.table.watermark()
+
+    def apply_batch(
+        self, events: DataFrame, batch_id: str, watermark_lsn: int | None = None
+    ) -> MergeResult:
+        """Normalize → dead-letter split → schema-evolve → MERGE → lineage.
+
+        Idempotent: redelivering the same ``batch_id`` is a committed
+        no-op (the exactly-once gate lives inside ``merge_into``).
+        """
+        t0 = time.monotonic()
+        if batch_id in self.table.applied_batch_ids():
+            return MergeResult(
+                self.table.current(), {"batch_id": batch_id, "skipped_duplicate_batch": True}
+            )
+
+        self._evolve_for(events)
+
+        if self.config.normalize:
+            events = normalize_events(events)
+        valid, dead = split_dead_letter(events)
+
+        dead_rows = 0
+        if self.config.dead_letter_dir:
+            dl_path = os.path.join(self.config.dead_letter_dir, batch_id)
+            # Dead letters are written before the commit; on a replayed
+            # batch the overwrite keeps them exactly-once per batch id.
+            dead.write.mode("overwrite").parquet(dl_path)
+            import pyarrow.parquet as pq
+
+            dead_rows = sum(
+                pq.ParquetFile(os.path.join(dl_path, f)).metadata.num_rows
+                for f in os.listdir(dl_path)
+                if f.endswith(".parquet")
+            )
+
+        result = merge_into(
+            self.table,
+            valid,
+            batch_id,
+            salt_partitions=self.config.salt_partitions,
+            extra_lineage={"dead_letter_rows": dead_rows},
+            watermark_lsn=watermark_lsn,
+        )
+        result.metrics["commit_seconds"] = round(time.monotonic() - t0, 4)
+        rows = result.metrics.get("rows_in") or 0
+        if rows and result.metrics["commit_seconds"]:
+            result.metrics["rows_per_sec"] = round(rows / result.metrics["commit_seconds"], 1)
+        self._record_lineage(result)
+        return result
+
+    def replay(
+        self,
+        events: DataFrame,
+        lsn_step: int,
+        max_lsn: int | None = None,
+    ) -> list[MergeResult]:
+        """Replay a bounded change stream in LSN-range micro-batches of
+        width ``lsn_step``, resuming from the committed watermark.
+
+        The per-batch filter ``lsn > lo AND lsn <= hi`` is a pushed-down
+        parquet predicate when ``events`` is a file scan — each batch
+        reads only its slice.
+        """
+        if max_lsn is None:
+            from pyspark.sql import functions as F
+
+            max_lsn = events.agg(F.max(LSN_COL)).collect()[0][0]
+            if max_lsn is None:
+                return []
+        results = []
+        lo = self.watermark()
+        from pyspark.sql import functions as F
+
+        while lo < max_lsn:
+            hi = min(lo + lsn_step, max_lsn)
+            batch = events.filter((F.col(LSN_COL) > lo) & (F.col(LSN_COL) <= hi))
+            batch_id = f"lsn-{lo}-{hi}"
+            # watermark advances to the *range end* so a restarted runner
+            # re-slices identical LSN ranges (identical batch ids)
+            results.append(self.apply_batch(batch, batch_id, watermark_lsn=hi))
+            lo = hi
+        return results
+
+    def state(self) -> DataFrame:
+        """Current live table (payload columns, no system columns)."""
+        snap = self.table.current()
+        cols = [f.name for f in snap.schema.fields if f.name != LSN_COL]
+        return self.table.read().select(*cols)
+
+    # ---------- internals ----------
+
+    def _evolve_for(self, events: DataFrame) -> None:
+        """Additive schema evolution: new non-system event columns become
+        table columns (metadata-only commit). Reference analog: dynamic
+        extra CSV columns -> new metadata keys (``CSVUtility.java:38-49``)."""
+        snap = self.table.current()
+        table_cols = {f.name for f in snap.schema.fields}
+        new = [
+            f
+            for f in events.schema.fields
+            if f.name not in table_cols and f.name not in SYSTEM_COLS
+        ]
+        if new:
+            # appended after _lsn; column order is cosmetic (reads are
+            # by-name), no data rewrite happens
+            self.table.evolve_schema(new)
+
+    def _record_lineage(self, result: MergeResult) -> None:
+        if not self.config.lineage_path:
+            return
+        os.makedirs(os.path.dirname(self.config.lineage_path) or ".", exist_ok=True)
+        with open(self.config.lineage_path, "a") as f:
+            f.write(json.dumps({"version": result.snapshot.version, **result.metrics}) + "\n")

@@ -1,0 +1,327 @@
+"""LakeTable — a minimal ACID snapshot-manifest table format on Parquet.
+
+The target design is Iceberg ``MERGE INTO`` (the Spark-native analog of
+the reference's ``INSERT ... ON CONFLICT`` natural-key upserts,
+``concept/ConceptService.java:180-211``). Iceberg jars are not available
+in this sandbox, so this module implements the same commit semantics
+from scratch — and doubles as documentation of exactly what the engine
+needs from a table format:
+
+* **Atomic snapshot commits.** A commit writes immutable data files plus
+  one manifest JSON, then atomically swaps a VERSION pointer
+  (write-temp + ``os.rename``). Readers resolve VERSION -> manifest ->
+  file list; a torn commit is invisible.
+* **Idempotent, exactly-once batch application.** Manifest ``properties``
+  carry the CDC high-watermark (max applied LSN) and the set of applied
+  batch ids, updated atomically with the data — the analog of the
+  reference's ``update_info`` stamp (``schema.sql:152-155``) and its
+  re-POST-is-a-no-op contract (README.md:285-288), made airtight.
+* **Hash-bucket layout for MERGE pruning.** Rows are bucketed by
+  ``xxhash64(key) % bucket_count``; a MERGE only reads and rewrites the
+  buckets its source keys touch. At 100 TB with (say) 1024 buckets a
+  micro-batch touching 5% of conversations rewrites ~5% of the table,
+  not all of it. (Iceberg equivalent: ``PARTITIONED BY bucket(N, conv_id)``
+  + copy-on-write MERGE with partition pruning.)
+* **Additive schema evolution.** The manifest stores the authoritative
+  schema; old data files simply lack new columns and read back as nulls
+  (Parquet readers fill missing top-level columns). ``evolve_schema``
+  is metadata-only — no rewrite. (Reference analog: the "core columns +
+  open-ended extra columns" ingest pattern, ``Utility/CSVUtility.java:38-49``.)
+
+Single-writer discipline is assumed, exactly like the reference's
+single-flight ``ReentrantLock`` (``loading/DictionaryLoaderController.java:58``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+VERSION_FILE = "VERSION"
+BUCKET_COL = "_bucket"
+# Bounded history of batch ids kept for exactly-once redelivery checks.
+MAX_REMEMBERED_BATCHES = 10_000
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_json: str
+    bucket_count: int
+    key_cols: list[str]
+    bucket_by: list[str]
+    # bucket id (as str, JSON keys are strings) -> list of repo-relative files
+    files: dict[str, list[str]]
+    properties: dict[str, Any] = field(default_factory=dict)
+    lineage: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def all_files(self) -> list[str]:
+        return [f for fl in self.files.values() for f in fl]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema": json.loads(self.schema_json),
+                "bucket_count": self.bucket_count,
+                "key_cols": self.key_cols,
+                "bucket_by": self.bucket_by,
+                "files": self.files,
+                "properties": self.properties,
+                "lineage": self.lineage,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(raw: str) -> "Snapshot":
+        d = json.loads(raw)
+        return Snapshot(
+            version=d["version"],
+            parent=d.get("parent"),
+            schema_json=json.dumps(d["schema"]),
+            bucket_count=d["bucket_count"],
+            key_cols=d["key_cols"],
+            bucket_by=d["bucket_by"],
+            files=d["files"],
+            properties=d.get("properties", {}),
+            lineage=d.get("lineage", {}),
+        )
+
+
+def bucket_expr(bucket_by: list[str], bucket_count: int) -> F.Column:
+    """Deterministic bucket id: pmod(xxhash64(bucket cols), n).
+
+    xxhash64 is a JVM-side codegen'd expression — no Python in the
+    partitioning path.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(bucket_count)).cast("int")
+
+
+class LakeTable:
+    """Handle to one snapshot-committed table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ---------- creation / loading ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_by: list[str] | None = None,
+        bucket_count: int = 16,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(os.path.join(t.root, META_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema_json=schema.json(),
+            bucket_count=bucket_count,
+            key_cols=key_cols,
+            bucket_by=bucket_by or [key_cols[0]],
+            files={},
+            properties=properties or {},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        t.current()  # raises if missing
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(root), META_DIR, VERSION_FILE))
+
+    # ---------- snapshot IO ----------
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, META_DIR, VERSION_FILE)) as f:
+            return int(f.read().strip())
+
+    def current(self) -> Snapshot:
+        return self.snapshot(self.current_version())
+
+    def snapshot(self, version: int) -> Snapshot:
+        path = os.path.join(self.root, META_DIR, f"snap-{version:08d}.json")
+        with open(path) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        meta = os.path.join(self.root, META_DIR)
+        snap_path = os.path.join(meta, f"snap-{snap.version:08d}.json")
+        with open(snap_path, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(meta, f".{VERSION_FILE}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(meta, VERSION_FILE))  # atomic pointer swap
+
+    # ---------- reads ----------
+
+    def read(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """Current table state as a DataFrame (system columns included)."""
+        snap = snapshot or self.current()
+        return self._read_files(snap, snap.all_files())
+
+    def read_buckets(self, bucket_ids: list[int], snapshot: Snapshot | None = None) -> DataFrame:
+        snap = snapshot or self.current()
+        files = [f for b in bucket_ids for f in snap.files.get(str(b), [])]
+        return self._read_files(snap, files)
+
+    def _read_files(self, snap: Snapshot, rel_files: list[str]) -> DataFrame:
+        if not rel_files:
+            return self.spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.root, f) for f in rel_files]
+        # recursiveFileLookup=true disables partition-directory inference —
+        # we hand Spark leaf files from several commit dirs; the explicit
+        # manifest schema fills columns missing from pre-evolution files
+        # with nulls (additive schema evolution).
+        return (
+            self.spark.read.schema(snap.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+
+    # ---------- writes ----------
+
+    def _commit_dir(self, version: int) -> str:
+        return f"data/c{version:08d}"
+
+    def write_data_files(
+        self, df: DataFrame, version: int, write_partitions: list[F.Column] | None = None
+    ) -> dict[str, list[str]]:
+        """Write ``df`` (must carry ``_bucket``) as immutable data files for
+        commit ``version``; return bucket -> repo-relative file list.
+
+        ``write_partitions`` lets the caller spread a hot bucket across
+        several tasks (salting): we repartition on (_bucket, *salt) but
+        still lay files out under their bucket directory.
+        """
+        rel = self._commit_dir(version)
+        out = os.path.join(self.root, rel)
+        parts = [F.col(BUCKET_COL)] + (write_partitions or [])
+        (
+            df.repartition(*parts)
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out, entry)
+            files[b] = sorted(
+                f"{rel}/{entry}/{fn}" for fn in os.listdir(bdir) if fn.endswith(".parquet")
+            )
+        return files
+
+    def commit(
+        self,
+        new_bucket_files: dict[str, list[str]],
+        properties_update: dict[str, Any] | None = None,
+        lineage: dict[str, Any] | None = None,
+        replaced_buckets: list[int] | None = None,
+    ) -> Snapshot:
+        """Produce snapshot N+1: replace files for ``replaced_buckets``
+        (default: the keys of ``new_bucket_files``), keep the rest,
+        merge properties. The whole commit is one atomic pointer swap.
+        """
+        prev = self.current()
+        files = dict(prev.files)
+        for b in replaced_buckets if replaced_buckets is not None else []:
+            files.pop(str(b), None)
+        for b, fl in new_bucket_files.items():
+            files[b] = fl
+        files = {b: fl for b, fl in files.items() if fl}
+        props = dict(prev.properties)
+        props.update(properties_update or {})
+        snap = Snapshot(
+            version=prev.version + 1,
+            parent=prev.version,
+            schema_json=prev.schema_json,
+            bucket_count=prev.bucket_count,
+            key_cols=prev.key_cols,
+            bucket_by=prev.bucket_by,
+            files=files,
+            properties=props,
+            lineage=lineage or {},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ---------- schema evolution ----------
+
+    def evolve_schema(self, new_fields: list[T.StructField]) -> Snapshot:
+        """Additive-only schema evolution: append columns, metadata-only
+        commit (no data rewrite). Non-additive changes are rejected —
+        matching Iceberg's safe-evolution rules and the reference's
+        extra-columns-as-new-metadata-keys behavior.
+        """
+        prev = self.current()
+        schema = prev.schema
+        existing = {f.name for f in schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        if not added:
+            return prev
+        new_schema = T.StructType(schema.fields + added)
+        snap = Snapshot(
+            version=prev.version + 1,
+            parent=prev.version,
+            schema_json=new_schema.json(),
+            bucket_count=prev.bucket_count,
+            key_cols=prev.key_cols,
+            bucket_by=prev.bucket_by,
+            files=prev.files,
+            properties=dict(prev.properties),
+            lineage={"schema_evolution": [f.name for f in added]},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ---------- exactly-once bookkeeping ----------
+
+    def watermark(self) -> int:
+        return int(self.current().properties.get("watermark_lsn", -1))
+
+    def applied_batch_ids(self) -> set[str]:
+        return set(self.current().properties.get("applied_batches", []))
+
+    def exactly_once_props(self, batch_id: str, max_lsn: int) -> dict[str, Any]:
+        prev = self.current().properties
+        batches = list(prev.get("applied_batches", []))
+        batches.append(batch_id)
+        return {
+            "watermark_lsn": max(int(prev.get("watermark_lsn", -1)), int(max_lsn)),
+            "applied_batches": batches[-MAX_REMEMBERED_BATCHES:],
+        }
