@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k against a query vector.
+  The dot product is a codegen'd ``aggregate``/``zip_with`` fold (no
+  Python); at 100 TB this is one scan + a size-k takeOrdered.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH: probe only vectors
+  whose sign-bucket matches the query's (optionally multi-probe). The
+  hyperplanes are deterministic pseudo-random values derived from
+  xxhash64(dim, plane) so driver and executors agree without shipping
+  matrices.
+* ``pairwise_topk_per_label`` — IVF-style: exact search restricted to a
+  coarse partition (here the ``label`` column standing in for an IVF
+  cell assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Similarity is rounded before
+    ranking so ordering is stable across engines/float-sum orders;
+    ties break on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), round_digits).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-pattern bucket id from ``planes`` pseudo-random hyperplanes.
+    Plane p's coefficient for dimension d is a deterministic value in
+    [-1, 1) derived from xxhash64(d, p) — reproducible everywhere with
+    zero shipped state."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        coeffs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2_000_000)).cast("double") / 1_000_000.0)
+            - 1.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket. At scale, persist the bucket column (or make it a partition
+    key) so the probe is a partition-pruned scan."""
+    dim = len(query_vec)
+    import math
+
+    # driver-side bucket of the query (same arithmetic as the Column path)
+    def h64(*vals: int) -> int:
+        # mirror of xxhash64 is not available driver-side without a JVM
+        # call; evaluate via a 1-row DataFrame to guarantee agreement.
+        raise NotImplementedError
+
+    spark = df.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qrow = spark.range(1).select(hyperplane_bucket(q, dim, planes).alias("b")).collect()
+    qbucket = qrow[0]["b"]
+    bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), dim, planes))
+    cand = bucketed.filter(F.col("_b") == int(qbucket))
+    return cosine_topk(cand, query_vec, id_col, vec_col, k)
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    query_vec: list[float],
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style coarse partition probe: top-k within each label cell
+    (window over rounded similarity, deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
