@@ -1,0 +1,126 @@
+"""Benchmark harness.
+
+Headline metric: sustained change-events/sec applied to the lake
+transcripts table through the full CDC path (normalize -> dead-letter
+split -> LWW MERGE -> atomic commit), replayed in LSN-range micro-batches
+— the BASELINE.json target metric.
+
+Also times every ``__spark_entry__.queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_events_per_sec", "value": N,
+   "unit": "events/sec", "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {...}, "cpus": N}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (parallelism — the N vs
+4N scaling evidence runs this script at 8 and 32), SPARK_GRAFT_BENCH_EVENTS
+(change-stream size, default 2_000_000), SPARK_GRAFT_BENCH_BATCHES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from picsure_dictionary_etl_spark.session import get_spark  # noqa: E402
+
+
+def bench_cdc(spark, workdir: str, n_events: int, n_batches: int) -> dict:
+    from picsure_dictionary_etl_spark.cdc.generator import change_events
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    events_path = os.path.join(workdir, "events")
+    # Stage the change stream as parquet first: replay then measures the
+    # real path (pushed-down LSN-range scans), not generator CPU.
+    gen = change_events(
+        spark,
+        n_events,
+        n_convs=max(1000, n_events // 200),
+        turns_per_conv=50,
+        update_ratio=0.35,
+        delete_ratio=0.05,
+        hot_fraction=0.2,
+        hot_convs=4,
+        malformed_ratio=0.01,
+    )
+    gen.write.mode("overwrite").parquet(events_path)
+    events = spark.read.parquet(events_path)
+
+    runner = CdcRunner(
+        spark,
+        RunnerConfig(
+            table_root=os.path.join(workdir, "table"),
+            lineage_path=os.path.join(workdir, "lineage.jsonl"),
+            bucket_count=32,
+        ),
+    )
+    t0 = time.monotonic()
+    results = runner.replay(events, lsn_step=n_events // n_batches)
+    wall = time.monotonic() - t0
+    rows = sum(r.metrics.get("rows_in") or 0 for r in results)
+    return {
+        "events_replayed": n_events,
+        "valid_rows_in": rows,
+        "n_batches": len(results),
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": runner.state().count(),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    out: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    workdir = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    try:
+        cdc = bench_cdc(spark, workdir, n_events, n_batches)
+        queries = bench_queries(spark, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_events_per_sec",
+                    "value": cdc["events_per_sec"],
+                    "unit": "events/sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "cpus": cpus,
+                    "cdc": cdc,
+                    "queries_total_sec": round(sum(queries.values()), 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

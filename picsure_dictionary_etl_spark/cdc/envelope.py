@@ -29,10 +29,13 @@ TRANSCRIPT_FIELDS = [
 
 
 def transcript_table_schema(extra_fields: list[T.StructField] | None = None) -> T.StructType:
-    """Stored table schema: payload + the ``_lsn`` system column that
-    backs cross-batch LWW (`s.lsn > t.lsn`) merge conditions."""
+    """Stored table schema: payload + system columns ``_op`` (tombstones
+    for merge-on-read deltas) and ``_lsn`` (backs cross-batch LWW,
+    ``s.lsn > t.lsn`` merge conditions)."""
     return T.StructType(
-        TRANSCRIPT_FIELDS + (extra_fields or []) + [T.StructField(LSN_COL, T.LongType(), False)]
+        TRANSCRIPT_FIELDS
+        + (extra_fields or [])
+        + [T.StructField(OP_COL, T.StringType(), False), T.StructField(LSN_COL, T.LongType(), False)]
     )
 
 

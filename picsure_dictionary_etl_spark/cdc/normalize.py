@@ -27,22 +27,30 @@ from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL
 
 # DuckDB twin of normalize_text_udf (keep in lockstep with the UDF!).
 NORMALIZE_TEXT_SQL = (
-    "nullif(trim(regexp_replace(regexp_replace({col}, '[\\x00-\\x1f]', ' ', 'g'), "
-    "' +', ' ', 'g')), '')"
+    "nullif(trim(regexp_replace({col}, '[\\x00-\\x20]+', ' ', 'g')), '')"
 )
 
 
 @pandas_udf(T.StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
-    """Arrow-batched text cleanup: control chars -> space, collapse runs
-    of whitespace, trim; empty -> null. All pandas .str ops (vectorized
-    C paths), zero per-row Python."""
-    out = (
-        s.str.replace(r"[\x00-\x1f]", " ", regex=True)
-        .str.replace(r" +", " ", regex=True)
-        .str.strip()
-    )
-    return out.mask(out == "", None)
+    """Arrow-batched text cleanup: runs of control chars/whitespace
+    collapse to one space, trim, empty -> null.
+
+    Implementation detail: the batch is handed straight to pyarrow
+    compute (RE2 + C++ kernels) instead of pandas ``.str`` (which calls
+    Python ``re`` per element) — ~2x faster, zero per-row Python. This
+    is the engine's only Python stage, mandated vectorized by the north
+    star; everything else is JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # explicit string type: an all-null batch otherwise infers null type
+    # and the regex kernel has no null-type overload
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    a = pc.replace_substring_regex(arr, r"[\x00-\x20]+", " ")
+    a = pc.utf8_trim(a, " ")
+    a = pc.if_else(pc.equal(a, ""), pa.nulls(len(a), pa.string()), a)
+    return a.to_pandas()
 
 
 def null_sentinels(col: Column) -> Column:

@@ -43,7 +43,15 @@ class RunnerConfig:
     dead_letter_dir: str | None = None
     lineage_path: str | None = None  # JSONL, one line per commit
     bucket_count: int = 16
-    salt_partitions: int | None = None  # spread hot buckets over N write tasks
+    merge_mode: str = "mor"  # 'mor' (append deltas, compact lazily) | 'cow'
+    # mor: max files per bucket before inline compaction. Scaled by the
+    # salt factor internally (salting writes `salt_partitions` files per
+    # bucket per batch — a raw file count would trigger compaction churn).
+    compact_threshold: int = 8
+    # Hot-bucket salting: spread each bucket's write across N tasks.
+    # Leave None unless key skew concentrates a batch into few buckets —
+    # the extra shuffle width costs ~15% when skew is absent.
+    salt_partitions: int | None = None
     normalize: bool = True
     extra_fields: list[T.StructField] = field(default_factory=list)
 
@@ -85,8 +93,29 @@ class CdcRunner:
 
         self._evolve_for(events)
 
-        if self.config.normalize:
-            events = normalize_events(events)
+        # Validity only reads key/op/lsn fields, which normalize never
+        # touches — so the dead-letter split runs on raw events and the
+        # (pure, per-row) normalize runs AFTER the LWW reduce, over
+        # winners only: the vectorized-UDF volume drops by the duplicate
+        # factor at identical final state.
+        dead_obs = None
+        if not self.config.dead_letter_dir:
+            # no DLQ sink configured: still count drops in lineage via an
+            # in-plan observation (no extra job) — malformed rows must
+            # never vanish silently (reference: error registry always on,
+            # loading/ColumnMetaErrorWriter.java:21-38)
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            from picsure_dictionary_etl_spark.cdc.normalize import valid_event_pred
+
+            dead_obs = Observation(f"dead-{batch_id}")
+            events = events.observe(
+                dead_obs,
+                F.sum(
+                    F.when(~F.coalesce(valid_event_pred(), F.lit(False)), 1).otherwise(0)
+                ).alias("dead_rows"),
+            )
         valid, dead = split_dead_letter(events)
 
         dead_rows = 0
@@ -107,10 +136,19 @@ class CdcRunner:
             self.table,
             valid,
             batch_id,
+            mode=self.config.merge_mode,
+            compact_threshold=self.config.compact_threshold
+            * (self.config.salt_partitions or 1),
             salt_partitions=self.config.salt_partitions,
             extra_lineage={"dead_letter_rows": dead_rows},
             watermark_lsn=watermark_lsn,
+            post_reduce_transform=normalize_events if self.config.normalize else None,
         )
+        if dead_obs is not None and not result.metrics.get("skipped_duplicate_batch"):
+            try:
+                result.metrics["dead_letter_rows"] = int(dead_obs.get["dead_rows"] or 0)
+            except Exception:
+                pass  # empty batch: no action touched the observed node
         result.metrics["commit_seconds"] = round(time.monotonic() - t0, 4)
         rows = result.metrics.get("rows_in") or 0
         if rows and result.metrics["commit_seconds"]:
@@ -152,10 +190,18 @@ class CdcRunner:
         return results
 
     def state(self) -> DataFrame:
-        """Current live table (payload columns, no system columns)."""
+        """Current live table (payload columns, no system columns).
+
+        Merge-on-read resolution: LWW across base+delta files, tombstones
+        dropped — idempotent on copy-on-write/compacted data."""
         snap = self.table.current()
-        cols = [f.name for f in snap.schema.fields if f.name != LSN_COL]
-        return self.table.read().select(*cols)
+        keys = snap.key_cols
+        payload = [
+            f.name for f in snap.schema.fields if f.name not in {*keys, LSN_COL, OP_COL}
+        ]
+        from picsure_dictionary_etl_spark.lake.merge import resolve_live
+
+        return resolve_live(self.table.read(), keys, payload).select(*keys, *payload)
 
     # ---------- internals ----------
 

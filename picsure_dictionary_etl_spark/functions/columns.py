@@ -73,7 +73,7 @@ def null_if_sentinel(col: Column) -> Column:
 
 def try_double(col: Column) -> Column:
     """Double parse with sentinel-null fallback (``ColumnMetaMapper.java:77-88``)."""
-    return F.try_cast(null_if_sentinel(col), "double")
+    return null_if_sentinel(col).try_cast("double")
 
 
 def canonical_json_hash(*cols: Column) -> Column:

@@ -16,22 +16,28 @@ Reference parity: natural-key array-batch upsert D1
 on last-writer-wins by max LSN), delete path H4
 (``concept/ConceptController.java:119-143``).
 
-Execution strategy (copy-on-write, bucket-pruned):
+Two physical strategies (Iceberg's copy-on-write vs merge-on-read):
+
+* **cow** — read the touched buckets, re-reduce union(target, winners),
+  rewrite those buckets. Best read performance; write cost is
+  proportional to touched-bucket size. Right for low-frequency batch
+  loads.
+* **mor** (default for the streaming runner) — append the LWW-reduced
+  winner rows (including 'D' tombstones) as per-bucket *delta files*;
+  reads resolve LWW across base+delta files; buckets whose file count
+  exceeds ``compact_threshold`` are compacted (LWW rewrite, tombstones
+  dropped) inside the same commit. Write cost is proportional to the
+  *batch*, not the table — the sustained-throughput design for a
+  10^10-event replay. Compaction is amortized O(table/threshold).
+
+Common stages (all JVM-side codegen; zero Python on the hot path):
 
 1. **Batch LWW reduce** — ``groupBy(keys).agg(max_by(struct(payload), lsn))``.
-   A hash aggregate with map-side partial combine: duplicate redeliveries
-   and hot-key update storms collapse *before* the shuffle, which is the
-   skew story (a window ``row_number`` would full-sort every hot
-   partition instead).
-2. **Bucket pruning** — the distinct ``xxhash64(bucket_by) % n`` of the
-   winners decides which buckets are read + rewritten; all other buckets'
-   files carry over to the new snapshot untouched.
-3. **Cross-batch LWW** — union(target rows @ stored lsn, winners) →
-   same max_by reduce → drop 'D' winners → write per bucket.
-4. **Atomic commit** with watermark/batch-id properties (exactly-once).
-
-All expressions are JVM-side (whole-stage codegen); zero Python on the
-hot path.
+   Hash-partial combine collapses hot-key storms *before* the shuffle —
+   the skew story (a window row_number would full-sort instead).
+2. **Bucket pruning** — winners' distinct ``xxhash64(bucket_by) % n``
+   decides which buckets are touched; everything else carries over.
+3. **Atomic commit** with watermark/batch-id properties (exactly-once).
 """
 
 from __future__ import annotations
@@ -63,40 +69,60 @@ class MergeResult:
 
 def _payload_cols(snap: Snapshot) -> list[str]:
     """Table columns that aren't key or system columns."""
-    return [f.name for f in snap.schema.fields if f.name not in snap.key_cols and f.name != LSN_COL]
+    system = {LSN_COL, OP_COL, *snap.key_cols}
+    return [f.name for f in snap.schema.fields if f.name not in system]
 
 
-def lww_winners(source: DataFrame, key_cols: list[str], payload_cols: list[str]) -> DataFrame:
-    """Per-key last-writer-wins reduce of a change batch by max LSN.
+def lww_winners(
+    source: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key last-writer-wins reduce by max LSN.
 
-    ``max_by`` over a struct = one hash aggregate with partial (map-side)
+    ``max_by`` over a struct = one aggregate with partial (map-side)
     combine — the skew-resistant generalization of the reference's
     first-wins ``putIfAbsent`` (``ColumnMetaTreeBuilder.java:52-77``).
+    Output: carry + keys + payload + _op + _lsn.
+
+    ``carry_cols`` are key-functional columns (e.g. the bucket id)
+    added to the groupBy so an existing partitioning on them satisfies
+    the aggregate's distribution — Catalyst then skips the exchange.
     """
+    carry = carry_cols or []
     winner = F.max_by(F.struct(*payload_cols, OP_COL), F.col(LSN_COL)).alias("_w")
-    out = source.groupBy(*key_cols).agg(winner, F.max(LSN_COL).alias(LSN_COL))
-    return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
+    out = source.groupBy(*carry, *key_cols).agg(winner, F.max(LSN_COL).alias(LSN_COL))
+    return out.select(*carry, *key_cols,
+                      *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
                       F.col(f"_w.{OP_COL}").alias(OP_COL), LSN_COL)
+
+
+def resolve_live(df: DataFrame, key_cols: list[str], payload_cols: list[str]) -> DataFrame:
+    """Merge-on-read resolution: LWW across base+delta rows, tombstones
+    dropped. Idempotent on already-resolved (cow/compacted) data."""
+    return lww_winners(df, key_cols, payload_cols).filter(F.col(OP_COL) != OP_DELETE)
 
 
 def merge_into(
     table: LakeTable,
     source: DataFrame,
     batch_id: str,
+    mode: str = "mor",
+    compact_threshold: int = 8,
     salt_partitions: int | None = None,
     extra_lineage: dict[str, Any] | None = None,
     watermark_lsn: int | None = None,
+    post_reduce_transform=None,
 ) -> MergeResult:
-    """Apply one change batch to the table with exactly-once semantics.
+    """Apply one change batch with exactly-once semantics.
 
-    ``source`` must contain the table's key columns, its payload columns
-    (missing ones are filled with nulls), ``_op`` ('I'/'U'/'D') and
-    ``_lsn``. Returns the committed snapshot plus lineage metrics.
+    ``source`` must contain the table's key columns, payload columns
+    (missing ones null-filled), ``_op`` ('I'/'U'/'D') and ``_lsn``.
 
-    If ``batch_id`` was already applied, returns the current snapshot
-    unchanged with ``metrics["skipped_duplicate_batch"] = True`` —
-    redelivery is a no-op (reference analog: idempotent re-POST,
-    README.md:285-288).
+    Redelivered ``batch_id``s are committed no-ops; events at or below
+    the committed watermark are dropped (already part of the applied
+    prefix — prevents stale inserts resurrecting physical deletes).
     """
     if batch_id in table.applied_batch_ids():
         return MergeResult(table.current(), {"batch_id": batch_id, "skipped_duplicate_batch": True})
@@ -105,8 +131,6 @@ def merge_into(
     keys = snap.key_cols
     payload = _payload_cols(snap)
 
-    # Align source to the table schema (additive evolution already applied
-    # by the caller): missing payload columns -> null.
     src_cols = set(source.columns)
     aligned = source.select(
         *keys,
@@ -118,11 +142,6 @@ def merge_into(
         F.col(LSN_COL).cast("long"),
     )
 
-    # Watermark guard: events at or below the committed high-watermark are
-    # part of the already-applied prefix — dropping them makes redelivery
-    # of old data a true no-op even under a fresh batch id, and prevents a
-    # stale insert from resurrecting a key whose delete already landed
-    # (deletes are physical; there are no tombstones to out-LSN them).
     wm_prev = table.watermark()
     if wm_prev >= 0:
         aligned = aligned.filter(F.col(LSN_COL) > F.lit(wm_prev))
@@ -136,55 +155,52 @@ def merge_into(
         F.max(LSN_COL).alias("max_lsn"),
     )
 
-    winners = lww_winners(aligned, keys, payload).withColumn(
+    # Single-shuffle plan: repartition once on the bucket id, then group
+    # by (_bucket, keys) — HashPartitioning(_bucket) satisfies the
+    # aggregate's ClusteredDistribution(_bucket, keys), so the LWW reduce
+    # runs exchange-free, and the per-bucket write reuses the same
+    # partitioning. (With salting the write adds its own shuffle.)
+    bucketed = aligned.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count)
-    )
-    # The winners set is batch-sized (not table-sized): cache it so the
-    # bucket-pruning pass and the write pass share one source scan+reduce.
-    winners = winners.persist()
+    ).repartition(F.col(BUCKET_COL))
+    winners = lww_winners(bucketed, keys, payload, carry_cols=[BUCKET_COL])
 
-    # Bucket pruning: only buckets containing source keys are rewritten.
-    # The distinct set is at most bucket_count rows — trivially collectable
-    # even at 100 TB table scale.
-    changed = sorted(r[0] for r in winners.select(BUCKET_COL).distinct().collect())
+    if post_reduce_transform is not None:
+        # Normalization is per-row pure and key/LSN-preserving, so it
+        # commutes with LWW — running it on winners (not raw events)
+        # cuts the vectorized-UDF volume by the duplicate factor.
+        winners = post_reduce_transform(winners)
+
+    salt = [F.pmod(F.xxhash64(*keys), F.lit(salt_partitions))] if salt_partitions else None
+    version = snap.version + 1
+
+    if mode == "cow":
+        appends, replaces, compacted = _cow_write(
+            table, snap, winners, keys, payload, salt, version
+        )
+    elif mode == "mor":
+        appends, replaces, compacted = _mor_write(
+            table, snap, winners, keys, payload, salt, version, compact_threshold
+        )
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+
+    changed = sorted({int(b) for b in (*appends, *replaces)})
     if not changed:
-        winners.unpersist()
         props = table.exactly_once_props(
             batch_id, watermark_lsn if watermark_lsn is not None else table.watermark()
         )
-        snap2 = table.commit({}, props, {"batch_id": batch_id, "empty_batch": True})
+        snap2 = table.commit({}, {}, props, {"batch_id": batch_id, "empty_batch": True})
         return MergeResult(snap2, {"batch_id": batch_id, "rows_in": 0})
 
-    target = table.read_buckets(changed, snap).select(
-        *keys,
-        *payload,
-        F.lit(None).cast("string").alias(OP_COL),  # existing rows: live, lsn as stored
-        F.col(LSN_COL).cast("long"),
-    )
-
-    combined = target.unionByName(winners.drop(BUCKET_COL))
-    merged = lww_winners(
-        combined.withColumn(OP_COL, F.coalesce(OP_COL, F.lit(OP_UPDATE))), keys, payload
-    )
-    live = (
-        merged.filter(F.col(OP_COL) != OP_DELETE)
-        .drop(OP_COL)
-        .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
-    )
-
-    # Hot-bucket salting: spread one bucket's rows over several write
-    # tasks; files still land under their bucket directory.
-    salt = (
-        [F.pmod(F.xxhash64(*keys), F.lit(salt_partitions))] if salt_partitions else None
-    )
-    new_files = table.write_data_files(live, snap.version + 1, write_partitions=salt)
-    winners.unpersist()
-
     m = {k: (int(v) if v is not None else None) for k, v in obs.get.items()}
-    per_bucket = _bucket_row_counts(table, new_files)
+    written = {**appends, **replaces}
+    per_bucket = _bucket_row_counts(table, written)
     metrics: dict[str, Any] = {
         "batch_id": batch_id,
-        "buckets_rewritten": len(changed),
+        "mode": mode,
+        "buckets_touched": len(changed),
+        "buckets_compacted": compacted if mode == "mor" else changed,
         "buckets_total": snap.bucket_count,
         "rows_written": sum(per_bucket.values()),
         "per_bucket_rows": per_bucket,
@@ -193,8 +209,69 @@ def merge_into(
     }
     wm = watermark_lsn if watermark_lsn is not None else (m.get("max_lsn") or table.watermark())
     props = table.exactly_once_props(batch_id, wm)
-    snap2 = table.commit(new_files, props, metrics, replaced_buckets=changed)
+    snap2 = table.commit(appends, replaces, props, metrics)
     return MergeResult(snap2, metrics)
+
+
+def _cow_write(table, snap, winners, keys, payload, salt, version):
+    """Copy-on-write: union touched buckets with winners, re-reduce,
+    rewrite those buckets.
+
+    Touched buckets must be known up front (they decide which target
+    files join the union), so COW pays one extra batch pass: persist
+    winners, collect the distinct bucket set (≤ bucket_count rows), then
+    rewrite. Returns ({}, replaces, changed)."""
+    winners = winners.persist()
+    changed = sorted(r[0] for r in winners.select(BUCKET_COL).distinct().collect())
+    if not changed:
+        winners.unpersist()
+        return {}, {}, []
+    target = table.read_buckets(changed, snap).select(
+        *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
+    )
+    combined = target.unionByName(winners.drop(BUCKET_COL))
+    live = (
+        resolve_live(combined, keys, payload)
+        .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
+    )
+    replaces = table.write_data_files(live, version, write_partitions=salt)
+    winners.unpersist()
+    return {}, replaces, changed
+
+
+def _mor_write(table, snap, winners, keys, payload, salt, version, threshold):
+    """Merge-on-read: ONE pass over the batch — winner rows (including
+    'D' tombstones) stream straight into per-bucket delta files via the
+    dynamic-partition writer; the touched-bucket set falls out of the
+    write result (no pruning pre-pass, no cache). Buckets whose file
+    count then exceeds the threshold are compacted from the just-written
+    files in a second, amortized-rare job.
+
+    Returns (appends, replaces, compacted_bucket_ids)."""
+    appends = table.write_data_files(
+        winners, version, write_partitions=salt, subdir="delta", repartition=bool(salt)
+    )
+
+    to_compact = [
+        int(b) for b in appends if len(snap.files.get(b, [])) + len(appends[b]) > threshold
+    ]
+    replaces: dict[str, list[str]] = {}
+    if to_compact:
+        # existing snapshot files + the fresh deltas for those buckets
+        rel_files = [f for b in to_compact for f in snap.files.get(str(b), [])]
+        rel_files += [f for b in to_compact for f in appends[str(b)]]
+        base = table._read_files(snap, rel_files).select(
+            *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
+        )
+        live = (
+            resolve_live(base, keys, payload)
+            .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
+        )
+        replaces = table.write_data_files(live, version, write_partitions=salt, subdir="base")
+        for b in to_compact:
+            # superseded deltas become unreferenced files (GC'able)
+            appends.pop(str(b), None)
+    return appends, replaces, to_compact
 
 
 def _bucket_row_counts(table: LakeTable, bucket_files: dict[str, list[str]]) -> dict[str, int]:

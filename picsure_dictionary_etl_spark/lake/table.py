@@ -213,28 +213,37 @@ class LakeTable:
 
     # ---------- writes ----------
 
-    def _commit_dir(self, version: int) -> str:
-        return f"data/c{version:08d}"
+    def _commit_dir(self, version: int, subdir: str | None = None) -> str:
+        return f"data/c{version:08d}" + (f"/{subdir}" if subdir else "")
 
     def write_data_files(
-        self, df: DataFrame, version: int, write_partitions: list[F.Column] | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        write_partitions: list[F.Column] | None = None,
+        subdir: str | None = None,
+        repartition: bool = True,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``_bucket``) as immutable data files for
         commit ``version``; return bucket -> repo-relative file list.
 
         ``write_partitions`` lets the caller spread a hot bucket across
         several tasks (salting): we repartition on (_bucket, *salt) but
-        still lay files out under their bucket directory.
+        still lay files out under their bucket directory. ``subdir``
+        separates multiple file sets within one commit (delta vs base).
+        ``repartition=False`` skips the exchange when the caller already
+        hash-partitioned on ``_bucket`` (the single-shuffle MOR path).
         """
-        rel = self._commit_dir(version)
+        rel = self._commit_dir(version, subdir)
         out = os.path.join(self.root, rel)
-        parts = [F.col(BUCKET_COL)] + (write_partitions or [])
-        (
-            df.repartition(*parts)
-            .write.mode("errorifexists")
-            .partitionBy(BUCKET_COL)
-            .parquet(out)
-        )
+        if repartition or write_partitions:
+            parts = [F.col(BUCKET_COL)] + (write_partitions or [])
+            df = df.repartition(*parts)
+        # mode=overwrite: a crash between data write and snapshot commit
+        # leaves an orphan commit dir; the retried batch (same version,
+        # same id) cleans and rewrites it. Committed dirs are never
+        # reused (versions only move forward).
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -248,20 +257,20 @@ class LakeTable:
 
     def commit(
         self,
-        new_bucket_files: dict[str, list[str]],
+        appends: dict[str, list[str]],
+        replaces: dict[str, list[str]],
         properties_update: dict[str, Any] | None = None,
         lineage: dict[str, Any] | None = None,
-        replaced_buckets: list[int] | None = None,
     ) -> Snapshot:
-        """Produce snapshot N+1: replace files for ``replaced_buckets``
-        (default: the keys of ``new_bucket_files``), keep the rest,
-        merge properties. The whole commit is one atomic pointer swap.
+        """Produce snapshot N+1: ``appends`` extend a bucket's file list
+        (merge-on-read deltas); ``replaces`` swap it wholesale (copy-on-
+        write / compaction). One atomic pointer swap commits everything.
         """
         prev = self.current()
         files = dict(prev.files)
-        for b in replaced_buckets if replaced_buckets is not None else []:
-            files.pop(str(b), None)
-        for b, fl in new_bucket_files.items():
+        for b, fl in appends.items():
+            files[b] = files.get(b, []) + fl
+        for b, fl in replaces.items():
             files[b] = fl
         files = {b: fl for b, fl in files.items() if fl}
         props = dict(prev.properties)

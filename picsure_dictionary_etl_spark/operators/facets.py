@@ -59,9 +59,10 @@ def _segment_pred(segs: Column, e: Expression) -> Column:
         # scan all segments (``FacetExpressionEvaluator.java:96-111``)
         return F.exists(segs, pred_on)
     idx = e.node_index
-    # reference uses 0-based from start, negative from end; element_at is
-    # 1-based from start, -1-based from end; OOB -> null -> False
-    at = F.element_at(segs, idx + 1 if idx >= 0 else idx)
+    # reference uses 0-based from start, negative from end; try_element_at
+    # is 1-based from start, -1-based from end; OOB -> null -> False
+    # (plain element_at raises under ANSI mode — Spark 4 default)
+    at = F.try_element_at(segs, F.lit(idx + 1 if idx >= 0 else idx))
     return F.coalesce(pred_on(at), F.lit(False))
 
 

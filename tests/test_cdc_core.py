@@ -32,7 +32,8 @@ def _assert_state_equal(state_df, oracle_pdf, extra_cols=()):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_replay_matches_oracle(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_replay_matches_oracle(spark, tmp_path, mode):
     events = change_events(
         spark, 4000, n_convs=40, turns_per_conv=20, delete_ratio=0.1,
         hot_fraction=0.3, malformed_ratio=0.02,
@@ -44,6 +45,8 @@ def test_replay_matches_oracle(spark, tmp_path):
             dead_letter_dir=str(tmp_path / "dlq"),
             lineage_path=str(tmp_path / "lineage.jsonl"),
             bucket_count=8,
+            merge_mode=mode,
+            compact_threshold=3,
         ),
     )
     results = runner.replay(events, lsn_step=1000)
@@ -59,6 +62,9 @@ def test_replay_matches_oracle(spark, tmp_path):
     assert len(lines) == 4
     assert all("per_bucket_rows" in l and "rows_in" in l for l in lines)
     assert lines[0]["dead_letter_rows"] > 0
+    if mode == "mor":
+        # threshold 3 over 4 batches forces at least one inline compaction
+        assert any(l.get("buckets_compacted") for l in lines[1:])
 
 
 def test_exactly_once_redelivery(spark, tmp_path):
@@ -81,15 +87,17 @@ def test_exactly_once_redelivery(spark, tmp_path):
     pd.testing.assert_frame_equal(state1, state2, check_dtype=False)
 
 
-def test_resume_from_checkpoint(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_resume_from_checkpoint(spark, tmp_path, mode):
     """Kill mid-replay and restart: final state identical to one-shot."""
     events = change_events(spark, 2000, n_convs=20, delete_ratio=0.08)
     root = str(tmp_path / "t")
-    r1 = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4))
+    cfg = dict(table_root=root, bucket_count=4, merge_mode=mode, compact_threshold=3)
+    r1 = CdcRunner(spark, RunnerConfig(**cfg))
     r1.replay(events, lsn_step=500, max_lsn=999)  # "crash" after 2 batches
     assert r1.watermark() == 999
 
-    r2 = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4))  # fresh process
+    r2 = CdcRunner(spark, RunnerConfig(**cfg))  # fresh process
     r2.replay(events, lsn_step=500)  # resumes from watermark
     _assert_state_equal(r2.state(), _oracle_frame(spark, events))
 

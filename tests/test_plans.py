@@ -1,0 +1,42 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast — the
+Catalyst behaviors the 100 TB design depends on (SURVEY.md §4)."""
+
+from pyspark.sql import functions as F
+
+from picsure_dictionary_etl_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    assert_read_schema_only,
+)
+
+
+def test_lsn_slice_filter_pushdown(spark, tmp_path):
+    """The per-batch LSN-range filter must reach the parquet scan —
+    each micro-batch reads only its slice."""
+    from picsure_dictionary_etl_spark.cdc.generator import change_events
+
+    p = str(tmp_path / "ev")
+    change_events(spark, 1000, n_convs=10).write.parquet(p)
+    ev = spark.read.parquet(p)
+    batch = ev.filter((F.col("_lsn") > 100) & (F.col("_lsn") <= 200))
+    assert_pushed_filters(batch, "GreaterThan(_lsn,100)", "LessThanOrEqual(_lsn,200)")
+
+
+def test_column_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    assert_read_schema_only(q, {"l_returnflag", "l_quantity"})
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+    assert_broadcast_join(q)
+
+
+def test_study_filter_pushdown(spark, sf_dir):
+    """B1: the allow-list predicate reaches the scan of the dim table."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    q = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    assert_pushed_filters(q, "EqualTo(r_name,ASIA)")
