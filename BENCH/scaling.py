@@ -45,12 +45,13 @@ from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
 
 cpus = {cpus}
 n_events = {n_events}
+buckets = {buckets}
 spark = get_spark(f"scale-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=32)
 events = spark.read.parquet({events_path!r})
 wd = tempfile.mkdtemp(prefix="scale_")
 def replay(max_lsn=None, step={step}):
     shutil.rmtree(wd + "/t", ignore_errors=True)
-    r = CdcRunner(spark, RunnerConfig(table_root=wd + "/t", bucket_count=32))
+    r = CdcRunner(spark, RunnerConfig(table_root=wd + "/t", bucket_count=buckets))
     t0 = time.monotonic()
     r.replay(events, lsn_step=step, max_lsn=max_lsn)
     return time.monotonic() - t0
@@ -78,10 +79,33 @@ change_events(spark, {n_events}, n_convs={max(1000, n_events // 200)},
     subprocess.run([sys.executable, "-c", code], check=True, stderr=subprocess.DEVNULL)
 
 
-def run_level(cpus: int, cores: str, events_path: str, n_events: int) -> dict:
+def cpu_control(cores: str, workers: int, seconds: float = 3.0) -> float:
+    """Pure-CPU throughput (loop iterations/sec) on the pinned core set —
+    sampled per measurement window so the shared host's time-varying
+    steal can be factored out of the engine's efficiency number."""
+    code = f"""
+import multiprocessing as mp, time, json, sys
+def spin(_):
+    x = 0; t_end = time.time() + {seconds}; c = 0
+    while time.time() < t_end:
+        for i in range(10000): x += i * i
+        c += 1
+    return c
+if __name__ == "__main__":
+    with mp.Pool({workers}) as p:
+        print(json.dumps(sum(p.map(spin, range({workers})))))
+"""
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, "-c", code],
+        check=True, capture_output=True, text=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1]) / seconds
+
+
+def run_level(cpus: int, cores: str, events_path: str, n_events: int, batches: int = 4, buckets: int = 32) -> dict:
     code = WORKER.format(
         repo=REPO, cpus=cpus, n_events=n_events, events_path=events_path,
-        step=n_events // 4,
+        step=n_events // batches, buckets=buckets,
     )
     out = subprocess.run(
         ["taskset", "-c", cores, sys.executable, "-c", code],
@@ -94,6 +118,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=16_000_000)
     ap.add_argument("--pairs", type=int, default=3)
+    # micro-batches per replay; fewer/bigger batches shrink the constant
+    # per-batch driver term (the Amdahl serial fraction)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--cores-n", default="0-7")
     ap.add_argument("--m", type=int, default=32)
@@ -103,25 +131,45 @@ def main() -> None:
     events_path = os.path.join(tempfile.gettempdir(), f"scale_events_{args.events}")
     stage(events_path, args.events)
 
+    factor = args.m / args.n
     pairs = []
     for i in range(args.pairs):
-        lo = run_level(args.n, args.cores_n, events_path, args.events)
-        hi = run_level(args.m, args.cores_m, events_path, args.events)
-        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (args.m / args.n)
-        pairs.append({"pair": i, "n_level": lo, "m_level": hi, "efficiency": round(eff, 3)})
+        ctrl_lo = cpu_control(args.cores_n, args.n)
+        lo = run_level(args.n, args.cores_n, events_path, args.events, args.batches, args.buckets)
+        ctrl_hi = cpu_control(args.cores_m, args.m)
+        hi = run_level(args.m, args.cores_m, events_path, args.events, args.batches, args.buckets)
+        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / factor
+        ctrl_eff = (ctrl_hi / ctrl_lo) / factor
+        pairs.append(
+            {
+                "pair": i,
+                "n_level": lo,
+                "m_level": hi,
+                "efficiency": round(eff, 3),
+                # what perfectly-parallel CPU work achieved in the same
+                # window on the same cores (1.0 = no host steal)
+                "cpu_control_efficiency": round(ctrl_eff, 3),
+                "efficiency_vs_achievable": round(min(eff / ctrl_eff, 9.99), 3),
+            }
+        )
         print(json.dumps(pairs[-1]), flush=True)
 
     best_lo = max(p["n_level"]["events_per_sec"] for p in pairs)
     best_hi = max(p["m_level"]["events_per_sec"] for p in pairs)
     summary = {
         "events": args.events,
+        "batches": args.batches,
+        "buckets": args.buckets,
         "n_cpus": args.n,
         "m_cpus": args.m,
         "pairs": pairs,
         "best_n_events_per_sec": best_lo,
         "best_m_events_per_sec": best_hi,
         "best_pair_efficiency": max(p["efficiency"] for p in pairs),
-        "best_of_best_efficiency": round((best_hi / best_lo) / (args.m / args.n), 3),
+        "best_pair_efficiency_vs_achievable": max(
+            p["efficiency_vs_achievable"] for p in pairs
+        ),
+        "best_of_best_efficiency": round((best_hi / best_lo) / factor, 3),
     }
     with open(os.path.join(HERE, "scaling_results.json"), "w") as f:
         json.dump(summary, f, indent=2)
