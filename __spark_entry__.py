@@ -704,6 +704,137 @@ QUALIFY rank <= 3
 """
 
 
+def q_regex_extract_families(spark, sf_dir):
+    """B9: regex family extraction (the month-pattern analog) — numeric
+    group pulled out of a formatted code, distinct + counted."""
+    p = _t(spark, sf_dir, "part")
+    num = F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int")
+    return (
+        p.select(num.alias("brand_num"))
+        .groupBy("brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+SQL_REGEX_EXTRACT_FAMILIES = """
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+       count(*) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+def q_group_size_max(spark, sf_dir):
+    """C7: max/min of per-key group sizes (export pad-length analog)."""
+    o = _t(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.max("n").alias("max_group"), F.min("n").alias("min_group"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
+SQL_GROUP_SIZE_MAX = """
+SELECT max(n) AS max_group, min(n) AS min_group, count(*) AS n_groups
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+"""
+
+
+def q_depth_layer_counts(spark, sf_dir):
+    """G3: per-depth node counts of the concept tree (the BFS
+    level-by-level persist order, now just an aggregate)."""
+    nodes = pathops.distinct_concept_nodes(_paths_df(spark, sf_dir), "concept_path")
+    return nodes.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+SQL_DEPTH_LAYER_COUNTS = """
+WITH paths AS (
+  SELECT DISTINCT [r_name, n_name, c_mktsegment] AS segs
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS (
+  SELECT DISTINCT '\\' || array_to_string(segs[1:i], '\\') || '\\' AS prefix, CAST(i AS INT) AS depth
+  FROM paths, (SELECT unnest(generate_series(1, 3)) AS i)
+)
+SELECT depth, count(*) AS n_nodes FROM nodes GROUP BY depth
+"""
+
+
+def q_parent_backfill(spark, sf_dir):
+    """D12: parent-path backfill — each non-root node joined to its
+    parent by path slice (natural-key version of the reference's
+    parent_id UPDATE ... FROM join)."""
+    from picsure_dictionary_etl_spark.functions.columns import parent_path
+
+    nodes = pathops.distinct_concept_nodes(_paths_df(spark, sf_dir), "concept_path")
+    withp = nodes.select("prefix", parent_path(F.col("prefix")).alias("parent_path"))
+    parents = nodes.select(F.col("prefix").alias("parent_path"), F.lit(True).alias("parent_exists"))
+    return (
+        withp.filter(F.col("parent_path").isNotNull())
+        .join(parents, "parent_path", "left")
+        .select("prefix", "parent_path", F.coalesce("parent_exists", F.lit(False)).alias("parent_exists"))
+    )
+
+
+SQL_PARENT_BACKFILL = """
+WITH paths AS (
+  SELECT DISTINCT [r_name, n_name, c_mktsegment] AS segs
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS (
+  SELECT DISTINCT '\\' || array_to_string(segs[1:i], '\\') || '\\' AS prefix,
+         CASE WHEN i > 1 THEN '\\' || array_to_string(segs[1:i-1], '\\') || '\\' END AS parent_path
+  FROM paths, (SELECT unnest(generate_series(1, 3)) AS i)
+)
+SELECT n.prefix, n.parent_path,
+       EXISTS (SELECT 1 FROM nodes p WHERE p.prefix = n.parent_path) AS parent_exists
+FROM nodes n WHERE n.parent_path IS NOT NULL
+"""
+
+
+def q_index_aligned_pivot(spark, sf_dir):
+    """F3: index-aligned columnar pivot (Facet_Concept_Lists layout) —
+    one column per event type, event ids listed down, rows aligned."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    return pivots.index_aligned_pivot(ev, "event_type", "event_id")
+
+
+SQL_INDEX_ALIGNED_PIVOT = """
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS _rn
+  FROM events
+)
+SELECT _rn,
+       max(CASE WHEN event_type = 'click' THEN event_id END) AS click,
+       max(CASE WHEN event_type = 'error' THEN event_id END) AS error,
+       max(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase,
+       max(CASE WHEN event_type = 'signup' THEN event_id END) AS signup,
+       max(CASE WHEN event_type = 'view' THEN event_id END) AS view
+FROM r GROUP BY _rn
+"""
+
+
+def q_canonical_json_hash(spark, sf_dir):
+    """D9/I-json: sha256 over a canonical field-ordered JSON rendering
+    (the reference's facet change-detection hash)."""
+    n = _t(spark, sf_dir, "nation")
+    h = F.sha2(
+        F.to_json(F.struct(F.col("n_name"), F.col("n_regionkey"))), 256
+    )
+    return n.select("n_nationkey", h.alias("canon_hash"))
+
+
+SQL_CANONICAL_JSON_HASH = """
+SELECT n_nationkey,
+       sha256(to_json(struct_pack(n_name := n_name, n_regionkey := n_regionkey))) AS canon_hash
+FROM nation
+"""
+
+
 # --- rows-only entries (non-SQL-expressible) --------------------------------
 
 
@@ -763,6 +894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "distinct_sorted": q_distinct_sorted,
         "count_per_key": q_count_per_key,
+        "regex_extract_families": q_regex_extract_families,
+        "group_size_max": q_group_size_max,
+        "depth_layer_counts": q_depth_layer_counts,
+        "parent_backfill": q_parent_backfill,
+        "index_aligned_pivot": q_index_aligned_pivot,
+        "canonical_json_hash": q_canonical_json_hash,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "text_quality": q_text_quality,
@@ -802,6 +939,12 @@ def oracle_sql() -> dict[str, str]:
         "sorted_export": SQL_SORTED_EXPORT,
         "distinct_sorted": SQL_DISTINCT_SORTED,
         "count_per_key": SQL_COUNT_PER_KEY,
+        "regex_extract_families": SQL_REGEX_EXTRACT_FAMILIES,
+        "group_size_max": SQL_GROUP_SIZE_MAX,
+        "depth_layer_counts": SQL_DEPTH_LAYER_COUNTS,
+        "parent_backfill": SQL_PARENT_BACKFILL,
+        "index_aligned_pivot": SQL_INDEX_ALIGNED_PIVOT,
+        "canonical_json_hash": SQL_CANONICAL_JSON_HASH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -192,6 +192,12 @@ class LakeTable:
         snap = snapshot or self.current()
         return self._read_files(snap, snap.all_files())
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the table as of snapshot ``version`` (manifests
+        are immutable, so any retained snapshot is readable — the
+        Iceberg ``VERSION AS OF`` equivalent)."""
+        return self.read(self.snapshot(version))
+
     def read_buckets(self, bucket_ids: list[int], snapshot: Snapshot | None = None) -> DataFrame:
         snap = snapshot or self.current()
         files = [f for b in bucket_ids for f in snap.files.get(str(b), [])]
@@ -317,6 +323,43 @@ class LakeTable:
         )
         self._write_snapshot(snap)
         return snap
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, keep_snapshots: int = 2) -> dict[str, int]:
+        """Remove data files unreferenced by the last ``keep_snapshots``
+        snapshots, and manifests older than those (compaction + crash
+        retries leave orphans). Returns {files_removed, snapshots_kept}.
+
+        Safe under the single-writer assumption: only files no
+        retained snapshot references are deleted."""
+        current = self.current_version()
+        kept_versions = list(range(max(0, current - keep_snapshots + 1), current + 1))
+        referenced: set[str] = set()
+        for v in kept_versions:
+            referenced.update(self.snapshot(v).all_files())
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+                for fn in files:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(full)
+                        removed += 1
+                    elif not fn.endswith(".parquet"):
+                        # writer side-files (_SUCCESS, .crc) are never referenced
+                        os.remove(full)
+                try:
+                    os.rmdir(dirpath)  # prune now-empty dirs
+                except OSError:
+                    pass
+        meta = os.path.join(self.root, META_DIR)
+        for fn in os.listdir(meta):
+            if fn.startswith("snap-") and int(fn[5:13]) not in kept_versions:
+                os.remove(os.path.join(meta, fn))
+        return {"files_removed": removed, "snapshots_kept": len(kept_versions)}
 
     # ---------- exactly-once bookkeeping ----------
 
