@@ -2,9 +2,10 @@
 
 Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 (the ID is noted in each docstring); ``oracle_sql()`` carries the DuckDB
-twin with identical column names and rendering. Non-SQL-expressible
-entries (MinHash-LSH banding, SimHash, multimodal mapInPandas plumbing)
-have no oracle and get the driver's rows-only check.
+twin with identical column names and rendering. Every entry is oracled:
+MinHash-LSH and SimHash use the library's ``portable=True`` md5-derived
+hash stream (exact DuckDB twin), and the multimodal mapInPandas query
+projects its deterministic fake-decode features to scalars.
 
 Timestamps are compared as ``unix micros`` bigints, doubles are either
 passed through untouched or rounded/decimal-cast identically on both
@@ -564,9 +565,14 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    """Near-dup pairs: word-3-gram Jaccard >= 0.5 via inverted-index join."""
+    """Near-dup pairs: word-3-gram Jaccard >= 0.5 via inverted-index join.
+    ``max_shingle_freq=100`` drops shingles shared by >100 docs — the
+    quadratic-blowup guard that makes this survive boilerplate at scale
+    (candidate count stays O(docs x rare-shingles), never all-pairs).
+    Sizes (|A|, |B|) still count ALL shingles; only candidate generation
+    is capped — mirrored exactly in the oracle's ``rare`` CTE."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None)
+    return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=100)
 
 
 SQL_DEDUP_JACCARD_PAIRS = """
@@ -579,9 +585,11 @@ grams AS (
   WHERE i <= len(w) - 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id),
+rare AS (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 100),
+gr AS (SELECT g.doc_id, g.shingle FROM grams g JOIN rare USING (shingle)),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM gr a JOIN gr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -835,28 +843,129 @@ FROM nation
 """
 
 
-# --- rows-only entries (non-SQL-expressible) --------------------------------
-
-
 def q_minhash_lsh_candidates(spark, sf_dir):
-    """MinHash+LSH banded candidate pairs (xxhash64 signatures — no
-    portable SQL twin; driver does the rows-only check)."""
+    """MinHash+LSH banded candidate pairs. The ``portable=True`` hash
+    stream (min of 16-hex-char md5 prefixes per seed, band hash = md5 of
+    the band's mins) has an exact DuckDB twin — full oracle parity while
+    keeping the banded (band_idx, band_hash) shuffle shape. The default
+    xxhash64 path stays the production fast path."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, portable=True
+    )
+
+
+def _sql_minhash_lsh(num_hashes: int = 32, bands: int = 8) -> str:
+    r = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"min(substring(md5(shingle || '|' || '{k}'), 1, 16)) AS h{k}"
+        for k in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts} || '|' || '{b}') AS band_hash FROM sig".format(
+            b=b, parts=" || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, (SELECT unnest(generate_series(1, 10000)) AS i) s
+  WHERE i <= len(w) - 2
+),
+sig AS (
+  SELECT doc_id, {sig_cols}
+  FROM grams GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH_CANDIDATES = _sql_minhash_lsh(32, 8)
 
 
 def q_simhash_duplicates(spark, sf_dir):
-    """SimHash signature groups (bitwise aggregates; rows-only check)."""
+    """SimHash signature groups. ``portable=True`` derives word bits from
+    md5 hex nibbles (LSB-first) and renders the signature as a 16-char
+    hex string — bit-identical in DuckDB, full oracle parity."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_duplicates(d, "doc_id", "text")
+    return dedup.simhash_duplicates(d, "doc_id", "text", portable=True)
+
+
+def _sql_simhash_duplicates() -> str:
+    nib_cols = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1 AS n{i}"
+        for i in range(16)
+    )
+    bit_cols = ",\n         ".join(
+        f"sum(((n{j // 4} >> {j % 4}) & 1) * 2 - 1) AS b{j}" for j in range(64)
+    )
+    hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
+    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+),
+nibs AS (
+  SELECT doc_id, {nib_cols}
+  FROM words
+),
+bits AS (
+  SELECT doc_id, {bit_cols}
+  FROM nibs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, printf('%08x', {hi}) || printf('%08x', {lo}) AS simhash FROM bits
+)
+SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM sig GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+SQL_SIMHASH_DUPLICATES = _sql_simhash_duplicates()
 
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media plumbing: mapInPandas Arrow-batched feature extraction
-    (decode stubbed deterministically; rows-only check)."""
+    over opaque binary payloads. The deterministic fake decode
+    (byte-stats -> dim-16 float32 vector) is SQL-reproducible, so the
+    query projects driver-hashable scalars: n_bytes plus three rounded
+    feature dims (the raw array<float> column crashes the driver's
+    pandas canonicalizer — unhashable list)."""
     d = _t(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(d)
-    return multimodal.extract_features(media, dim=16)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.col("feature")[0].cast("double"), 4).alias("f0"),
+        F.round(F.col("feature")[7].cast("double"), 4).alias("f7"),
+        F.round(F.col("feature")[15].cast("double"), 4).alias("f15"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         CAST(strlen(text) AS INT) AS n_bytes,
+         CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS first_byte
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+       round(((n_bytes * 31 + first_byte * 17 + 0) % 1000) / 500.0 - 1.0, 4) AS f0,
+       round(((n_bytes * 31 + first_byte * 17 + 7) % 1000) / 500.0 - 1.0, 4) AS f7,
+       round(((n_bytes * 31 + first_byte * 17 + 15) % 1000) / 500.0 - 1.0, 4) AS f15
+FROM m
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -953,4 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
         "ann_topk_per_label": SQL_ANN_TOPK_PER_LABEL,
+        "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
+        "simhash_duplicates": SQL_SIMHASH_DUPLICATES,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -23,9 +23,11 @@ def export_state(runner: CdcRunner, out_dir: str, fmt: str = "csv") -> None:
     CSV needs timestamp->string; parquet keeps types."""
     state = runner.state().orderBy("conv_id", "turn_idx")
     if fmt == "csv":
+        # micros-preserving format: the round-trip contract is
+        # bit-for-bit, so sub-second precision must survive the CSV hop
         out = state.select(
             *[
-                F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)
+                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(c)
                 if dict(state.dtypes)[c].startswith("timestamp")
                 else F.col(c)
                 for c in state.columns

@@ -13,7 +13,8 @@ Resume contract: the LakeTable snapshot carries the authoritative
 watermark + applied batch ids (committed atomically with the data); a
 side checkpoint JSON mirrors it for fast inspection. Killing the runner
 between any two statements and restarting reproduces the identical final
-state — verified by tests/test_exactly_once.py.
+state — verified by the kill -9 resume tests in
+tests/test_lake_maintenance.py.
 """
 
 from __future__ import annotations

@@ -28,9 +28,11 @@ def split_mu_list(col: Column) -> Column:
 
 
 def path_segments(col: Column) -> Column:
-    """Split a backslash path, dropping blank segments
-    (``facet/FacetExpressionEvaluator.java:116-118``)."""
-    return F.filter(F.split(col, "\\\\"), lambda s: s != "")
+    """Split a backslash path, dropping BLANK segments — whitespace-only
+    segments too, matching the reference's ``isNotBlank`` filter
+    (``facet/FacetExpressionEvaluator.java:116-118``); an empty-vs-blank
+    mismatch would shift node indices for facet predicates."""
+    return F.filter(F.split(col, "\\\\"), lambda s: F.trim(s) != "")
 
 
 def parent_path(col: Column) -> Column:

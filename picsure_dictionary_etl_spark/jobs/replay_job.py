@@ -7,8 +7,17 @@ Cluster usage (the deployment path the engine is designed for)::
         --py-files dist/picsure_etl_spark.zip \
         --num-executors 250 --executor-cores 4 \
         picsure_dictionary_etl_spark/jobs/replay_job.py \
-        --events s3://bucket/wal/ --table s3://bucket/lake/transcripts \
+        --events s3://bucket/wal/ \
+        --table /mnt/shared/lake/transcripts \
         --lsn-step 100000000 --bucket-count 1024
+
+``--events`` can be any Spark-readable URI (s3/hdfs/file). ``--table``
+must be a driver-accessible POSIX path (local disk or a shared mount
+such as NFS/EFS): the DATA files are written by executors through
+Spark, but snapshot metadata and commit bookkeeping use driver-local
+file IO (atomic rename) — an object-store table root would need that
+metadata layer swapped for an Iceberg/Hive catalog client, which is the
+documented integration seam in ``lake/table.py``, not yet implemented.
 
 Local sandbox usage::
 

@@ -207,7 +207,15 @@ def merge_into(
         **m,
         **(extra_lineage or {}),
     }
-    wm = watermark_lsn if watermark_lsn is not None else (m.get("max_lsn") or table.watermark())
+    # explicit None checks: a legitimate max_lsn of 0 must still advance
+    # the watermark from its initial -1
+    max_lsn = m.get("max_lsn")
+    if watermark_lsn is not None:
+        wm = watermark_lsn
+    elif max_lsn is not None:
+        wm = max_lsn
+    else:
+        wm = table.watermark()
     props = table.exactly_once_props(batch_id, wm)
     snap2 = table.commit(appends, replaces, props, metrics)
     return MergeResult(snap2, metrics)

@@ -95,14 +95,36 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: sig[k] = min over shingles of
-    xxhash64(shingle, seed=k). All codegen'd; one groupBy."""
+    hash(shingle, seed=k). All codegen'd; one groupBy.
+
+    ``portable=False`` (default, fast path): xxhash64 with integer seeds,
+    signature is ``array<long>``.
+    ``portable=True``: hash = first 16 hex chars of md5(shingle || '|k')
+    — lexicographic min of fixed-length hex strings equals numeric min,
+    and md5 has an exact twin in every SQL engine (used for DuckDB
+    oracle parity); signature is ``array<string>``.
+    """
     sh = word_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}") for k in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(
+                F.substring(F.md5(F.concat_ws("|", F.col("shingle"), F.lit(str(k)))), 1, 16)
+            ).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*mins).select(
         id_col, F.array(*[f"h{k}" for k in range(num_hashes)]).alias("signature")
     )
@@ -115,25 +137,25 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any full band of the signature are
     candidate near-dups. Returns distinct (id_a < id_b) pairs.
     Shuffle key = (band_idx, band_hash): co-locates only colliders."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, portable=portable)
+
+    def band_hash(b: int):
+        elems = [F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws("|", *elems, F.lit(str(b))))
+        return F.xxhash64(*elems, F.lit(b))
+
     banded = sig.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -148,16 +170,56 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64, portable: bool = False
+) -> DataFrame:
     """64-bit SimHash over word features: bit j of the signature is the
-    sign of sum over words of (+1 if xxhash64(word) bit j else -1).
+    sign of sum over words of (+1 if hash(word) bit j else -1).
 
     Relational formulation: explode words -> per (doc, bit) weighted
     sum -> assemble. Two hash aggregates, no UDF.
+
+    ``portable=False`` (default, fast path): xxhash64 word hashes,
+    signature is a ``long``. ``portable=True``: word bits come from the
+    first 16 hex chars of md5(word) (nibble i, LSB-first within the
+    nibble), signature rendered as a 16-char lowercase hex string —
+    bit-for-bit reproducible in any SQL engine (DuckDB oracle parity).
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    )
+    if portable:
+        h = F.substring(F.md5(F.col("w")), 1, 16)
+        nibs = words.select(
+            F.col(id_col),
+            *[
+                F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+                for i in range(16)
+            ],
+        )
+        per_bit = nibs.select(
+            F.col(id_col),
+            *[
+                (F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                    f"b{j}"
+                )
+                for j in range(64)
+            ],
+        ).groupBy(id_col).agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)])
+        lo = F.lit(0).cast("long")
+        for j in range(32):
+            lo = lo + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+        hi = F.lit(0).cast("long")
+        for j in range(32, 64):
+            hi = hi + F.when(F.col(f"b{j}") > 0, F.lit(2 ** (j - 32)).cast("long")).otherwise(
+                F.lit(0)
+            )
+        sig = F.concat(
+            F.lpad(F.lower(F.conv(hi.cast("string"), 10, 16)), 8, "0"),
+            F.lpad(F.lower(F.conv(lo.cast("string"), 10, 16)), 8, "0"),
+        )
+        return per_bit.select(F.col(id_col), sig.alias("simhash"))
+    words = words.withColumn("h", F.xxhash64("w"))
     per_bit = words.select(
         F.col(id_col),
         *[
@@ -173,9 +235,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     return per_bit.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def simhash_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """Groups of documents sharing an identical SimHash signature."""
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, portable=portable)
     return (
         s.groupBy("simhash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))

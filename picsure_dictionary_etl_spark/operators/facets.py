@@ -144,11 +144,13 @@ def tag_concepts_crossjoin(
 
 
 def rollup_parents(mappings: DataFrame, rules: dict[str, FacetRule]) -> DataFrame:
-    """E8 bottom-up rollup: a parent facet's mappings are the distinct
-    union of its children's (``FacetConceptRepository.java:97-107``,
-    deepest-first ordering ``FacetLoaderService.java:422-434``).
-    The facet tree is tiny — iterate depths driver-side, one
-    union+distinct per level."""
+    """E8 bottom-up rollup: a parent facet gains the distinct union of
+    its children's mappings, ADDITIVELY — existing parent rows are kept,
+    matching the reference's ``INSERT ... ON CONFLICT DO NOTHING``
+    (``FacetConceptRepository.java:97-107``, deepest-first ordering
+    ``FacetLoaderService.java:422-434``; clearing stale parent rows is
+    the *clear* step's job, not the rollup's). The facet tree is tiny —
+    iterate depths driver-side, one union+distinct per level."""
     children_of: dict[str, list[str]] = {}
     depth: dict[str, int] = {}
 
@@ -171,5 +173,5 @@ def rollup_parents(mappings: DataFrame, rules: dict[str, FacetRule]) -> DataFram
             out.filter(F.col("facet").isin(kids))
             .select(F.col("concept_path"), F.lit(parent).alias("facet"))
         )
-        out = out.filter(F.col("facet") != parent).unionByName(rolled).distinct()
+        out = out.unionByName(rolled).distinct()
     return out

@@ -88,14 +88,8 @@ def lsh_bucketed_topk(
     bucket. At scale, persist the bucket column (or make it a partition
     key) so the probe is a partition-pruned scan."""
     dim = len(query_vec)
-    import math
-
-    # driver-side bucket of the query (same arithmetic as the Column path)
-    def h64(*vals: int) -> int:
-        # mirror of xxhash64 is not available driver-side without a JVM
-        # call; evaluate via a 1-row DataFrame to guarantee agreement.
-        raise NotImplementedError
-
+    # the query's bucket is evaluated via a 1-row DataFrame so the
+    # arithmetic is guaranteed identical to the Column path
     spark = df.sparkSession
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qrow = spark.range(1).select(hyperplane_bucket(q, dim, planes).alias("b")).collect()

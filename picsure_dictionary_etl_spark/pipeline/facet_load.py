@@ -49,11 +49,14 @@ def load_facets(
 ) -> tuple[DataFrame, dict[str, str], dict]:
     """Tag concepts with facets; returns (mappings, new_hashes, report).
 
-    With ``previous_hashes``/``previous_mappings`` from the last run,
-    only facets whose effective (inherited) groups changed are
-    re-evaluated; unchanged facets keep their previous mappings — the
-    reference's no-op suppression (D9), which makes re-posting the same
-    payload a cheap no-op.
+    Reference semantics (``FacetLoaderService.java:135-235``): EVERY
+    leaf facet is re-evaluated against EVERY concept on each load
+    (``singlePassMapLeaves`` with ON CONFLICT DO NOTHING — so concepts
+    added since the last run map into unchanged facets too); the hash
+    comparison only decides which facets get their previous mappings
+    CLEARED first. Unchanged facets union their previous mappings with
+    the fresh tags — the reference's no-op suppression (D9), which makes
+    re-posting the same payload a cheap no-op.
     """
     effective = inherit_groups(rules)
     new_hashes = {name: rule_hash(r) for name, r in effective.items()}
@@ -65,6 +68,9 @@ def load_facets(
     if previous_mappings is not None and unchanged:
         from pyspark.sql import functions as F
 
+        # the *clear* step: changed facets drop their previous mappings,
+        # unchanged facets keep theirs (stale rows persist — reference
+        # behavior, FacetLoaderClearIntegrationTest.java:82-194)
         kept = previous_mappings.filter(F.col("facet").isin(unchanged))
     else:
         kept = None
@@ -73,13 +79,15 @@ def load_facets(
 
     # only LEAF facets are expression-mapped (the reference's
     # singlePassMapLeaves streams leaf specs only,
-    # ``FacetLoaderService.java:387-420``); parents receive exactly the
-    # rolled-up union of their children
+    # ``FacetLoaderService.java:387-420``); parents receive the rolled-up
+    # union of their children. ALL leaves re-tag every load — tagging is
+    # one codegen'd projection, so skipping buys nothing and would miss
+    # concepts added since the last run.
     parents = {r.parent for r in rules.values() if r.parent}
     fresh = tag_concepts(
-        concepts, [effective[n] for n in changed if n not in parents], path_col
+        concepts, [effective[n] for n in effective if n not in parents], path_col
     )
-    mappings = fresh if kept is None else kept.unionByName(fresh)
+    mappings = fresh if kept is None else kept.unionByName(fresh).distinct()
     mappings = rollup_parents(mappings, rules)
 
     from pyspark.sql import functions as F
