@@ -161,6 +161,61 @@ FROM events WHERE event_id > 2000 AND event_id <= 4000 GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 
+def q_partial_update_coalesce(spark, sf_dir):
+    """D7: field-wise last-SPECIFIED-writer-wins (partial-update CDC) —
+    each field independently from the latest event that provided it,
+    respecting the delete boundary (pre-delete values never leak into a
+    reinserted key). Exercises lake.merge.lww_winners_fieldwise, the
+    reduce behind merge_into(update_policy='coalesce')."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners_fieldwise
+
+    cdc = _events_as_cdc(spark, sf_dir)
+    src = cdc.select(
+        F.col("lsn").alias("_lsn"),
+        F.col("op").alias("_op"),
+        "user_id",
+        "turn_idx",
+        "event_type",
+        "value",
+    )
+    w = lww_winners_fieldwise(
+        src, ["user_id", "turn_idx"], ["event_type", "value"], policy="coalesce"
+    )
+    return w.filter(F.col("_op") != "D").select(
+        "user_id",
+        "turn_idx",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_specified_value"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+SQL_PARTIAL_UPDATE_COALESCE = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), g AS (
+  SELECT user_id, turn_idx,
+         max(CASE WHEN op = 'D' THEN lsn END) AS del_lsn,
+         arg_max(op, lsn) AS op,
+         max(lsn) AS last_lsn,
+         arg_max(event_type, CASE WHEN event_type IS NOT NULL THEN lsn END) AS et,
+         max(CASE WHEN event_type IS NOT NULL THEN lsn END) AS et_lsn,
+         arg_max(value, CASE WHEN value IS NOT NULL THEN lsn END) AS v,
+         max(CASE WHEN value IS NOT NULL THEN lsn END) AS v_lsn
+  FROM ev GROUP BY user_id, turn_idx
+)
+SELECT user_id, turn_idx,
+       CASE WHEN del_lsn IS NULL OR et_lsn > del_lsn THEN et END AS last_event_type,
+       CASE WHEN del_lsn IS NULL OR v_lsn > del_lsn THEN v END AS last_specified_value,
+       last_lsn
+FROM g WHERE op <> 'D'
+"""
+
+
 def q_flatten_categorical(spark, sf_dir):
     """C2: sorted distinct value-set union per key (µ-joined)."""
     ev = _t(spark, sf_dir, "events")
@@ -984,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_final_state": q_cdc_apply_final_state,
         "cdc_dead_letter": q_cdc_dead_letter,
         "cdc_watermark_slice": q_cdc_watermark_slice,
+        "partial_update_coalesce": q_partial_update_coalesce,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
         "first_wins_pick": q_first_wins_pick,
@@ -1029,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_final_state": SQL_CDC_APPLY_FINAL_STATE,
         "cdc_dead_letter": SQL_CDC_DEAD_LETTER,
         "cdc_watermark_slice": SQL_CDC_WATERMARK_SLICE,
+        "partial_update_coalesce": SQL_PARTIAL_UPDATE_COALESCE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
         "first_wins_pick": SQL_FIRST_WINS_PICK,

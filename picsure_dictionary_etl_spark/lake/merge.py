@@ -104,6 +104,87 @@ def resolve_live(df: DataFrame, key_cols: list[str], payload_cols: list[str]) ->
     return lww_winners(df, key_cols, payload_cols).filter(F.col(OP_COL) != OP_DELETE)
 
 
+DEL_LSN_COL = "_del_lsn"
+
+
+def _specified(c: F.Column, dtype, policy: str) -> F.Column:
+    """Is this source field 'provided'? ``coalesce`` (D7): non-null.
+    ``blank_preserve`` (D6): non-null and non-blank for strings — the
+    reference's ``defaultIfBlank``/``isNotBlank`` update guards
+    (``facet/FacetLoaderService.java:168-174,285-286``)."""
+    from pyspark.sql import types as T
+
+    if policy == "blank_preserve" and isinstance(dtype, T.StringType):
+        return c.isNotNull() & (F.trim(c) != "")
+    return c.isNotNull()
+
+
+def lww_winners_fieldwise(
+    source: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    carry_cols: list[str] | None = None,
+    policy: str = "coalesce",
+    schema=None,
+) -> DataFrame:
+    """Per-key FIELD-WISE last-specified-writer-wins reduce — the partial
+    -update (D6/D7) generalization of :func:`lww_winners`.
+
+    Each payload column independently takes its value from the latest
+    event that *specified* it (see :func:`_specified`), but only if that
+    event came after the key's latest delete — a tombstone resets every
+    field, so pre-delete values can't leak into a reinserted row.
+    Unspecified-everywhere fields come out null (preserved against the
+    target by the COW resolve, which unions the full target rows in).
+
+    Still ONE map-side-combinable groupBy: per column a
+    ``max_by(struct(lsn, value), specified ? lsn : null)`` aggregate
+    (Spark's max_by ignores null orderings), plus the delete-boundary
+    max. Output carries ``_del_lsn`` so a second reduce over
+    union(target, winners) keeps respecting the boundary.
+
+    Reference parity: selective-field upsert D7
+    (``consent/ConsentController.java:170-189`` — ``Optional.ifPresent``
+    setters) and blank-preserving upsert D6
+    (``facet/FacetLoaderService.java:168-174``).
+    """
+    carry = carry_cols or []
+    has_del_in = DEL_LSN_COL in source.columns
+    aggs = []
+    for c in payload_cols:
+        dtype = schema[c].dataType if schema is not None else None
+        spec = _specified(F.col(c), dtype, policy)
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(LSN_COL).alias("l"), F.col(c).alias("v")),
+                F.when(spec, F.col(LSN_COL)),
+            ).alias(f"_w_{c}")
+        )
+    del_in = (
+        F.greatest(
+            F.when(F.col(OP_COL) == OP_DELETE, F.col(LSN_COL)), F.col(DEL_LSN_COL)
+        )
+        if has_del_in
+        else F.when(F.col(OP_COL) == OP_DELETE, F.col(LSN_COL))
+    )
+    aggs.append(F.max(del_in).alias(DEL_LSN_COL))
+    aggs.append(F.max_by(F.col(OP_COL), F.col(LSN_COL)).alias(OP_COL))
+    aggs.append(F.max(LSN_COL).alias(LSN_COL))
+    g = source.groupBy(*carry, *key_cols).agg(*aggs)
+    live_field = lambda c: F.when(  # noqa: E731
+        F.col(DEL_LSN_COL).isNull() | (F.col(f"_w_{c}.l") > F.col(DEL_LSN_COL)),
+        F.col(f"_w_{c}.v"),
+    )
+    return g.select(
+        *carry,
+        *key_cols,
+        *[live_field(c).alias(c) for c in payload_cols],
+        F.col(OP_COL),
+        F.col(LSN_COL),
+        F.col(DEL_LSN_COL),
+    )
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -114,6 +195,8 @@ def merge_into(
     extra_lineage: dict[str, Any] | None = None,
     watermark_lsn: int | None = None,
     post_reduce_transform=None,
+    update_policy: str = "row",
+    matched_only: bool = False,
 ) -> MergeResult:
     """Apply one change batch with exactly-once semantics.
 
@@ -123,9 +206,35 @@ def merge_into(
     Redelivered ``batch_id``s are committed no-ops; events at or below
     the committed watermark are dropped (already part of the applied
     prefix — prevents stale inserts resurrecting physical deletes).
+
+    ``update_policy`` selects the UPDATE SET semantics:
+
+    * ``"row"`` (default) — whole-row LWW, ``UPDATE SET *``.
+    * ``"coalesce"`` (D7) — per-column ``coalesce(s.col, t.col)``:
+      null source fields preserve the target value (partial-update
+      events; ``consent/ConsentController.java:170-189``).
+    * ``"blank_preserve"`` (D6) — like coalesce, but blank ('' or
+      whitespace) string fields also preserve the target
+      (``facet/FacetLoaderService.java:168-174`` ``defaultIfBlank``).
+
+    Non-row policies force copy-on-write: partial updates must resolve
+    against the target row at write time (they're the dictionary-style
+    *batch load* path, where COW is the right physical strategy anyway);
+    note they cannot express "set field to null" — inherent to the
+    semantics, same as the reference's ``Optional``-guarded setters.
+
+    ``matched_only`` (D11): only keys already present in the target are
+    touched — unmatched source rows are dropped, never inserted (the
+    reference's update-only endpoints return 404 instead of creating).
+    Also forces COW (needs the target key set at write time).
     """
     if batch_id in table.applied_batch_ids():
         return MergeResult(table.current(), {"batch_id": batch_id, "skipped_duplicate_batch": True})
+
+    if update_policy not in ("row", "coalesce", "blank_preserve"):
+        raise ValueError(f"unknown update_policy {update_policy!r}")
+    if update_policy != "row" or matched_only:
+        mode = "cow"
 
     snap = table.current()
     keys = snap.key_cols
@@ -163,7 +272,13 @@ def merge_into(
     bucketed = aligned.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count)
     ).repartition(F.col(BUCKET_COL))
-    winners = lww_winners(bucketed, keys, payload, carry_cols=[BUCKET_COL])
+    if update_policy == "row":
+        winners = lww_winners(bucketed, keys, payload, carry_cols=[BUCKET_COL])
+    else:
+        winners = lww_winners_fieldwise(
+            bucketed, keys, payload, carry_cols=[BUCKET_COL],
+            policy=update_policy, schema=snap.schema,
+        )
 
     if post_reduce_transform is not None:
         # Normalization is per-row pure and key/LSN-preserving, so it
@@ -176,7 +291,8 @@ def merge_into(
 
     if mode == "cow":
         appends, replaces, compacted = _cow_write(
-            table, snap, winners, keys, payload, salt, version
+            table, snap, winners, keys, payload, salt, version,
+            update_policy=update_policy, matched_only=matched_only,
         )
     elif mode == "mor":
         appends, replaces, compacted = _mor_write(
@@ -221,14 +337,22 @@ def merge_into(
     return MergeResult(snap2, metrics)
 
 
-def _cow_write(table, snap, winners, keys, payload, salt, version):
+def _cow_write(
+    table, snap, winners, keys, payload, salt, version,
+    update_policy="row", matched_only=False,
+):
     """Copy-on-write: union touched buckets with winners, re-reduce,
     rewrite those buckets.
 
     Touched buckets must be known up front (they decide which target
     files join the union), so COW pays one extra batch pass: persist
     winners, collect the distinct bucket set (≤ bucket_count rows), then
-    rewrite. Returns ({}, replaces, changed)."""
+    rewrite. Returns ({}, replaces, changed).
+
+    Non-row ``update_policy`` re-reduces field-wise so winner fields that
+    are unspecified fall back to the target row's committed values;
+    ``matched_only`` semi-joins winners against the target key set (the
+    read is already bucket-pruned) so unmatched rows never insert."""
     winners = winners.persist()
     changed = sorted(r[0] for r in winners.select(BUCKET_COL).distinct().collect())
     if not changed:
@@ -237,11 +361,22 @@ def _cow_write(table, snap, winners, keys, payload, salt, version):
     target = table.read_buckets(changed, snap).select(
         *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
     )
-    combined = target.unionByName(winners.drop(BUCKET_COL))
-    live = (
-        resolve_live(combined, keys, payload)
-        .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
-    )
+    src = winners.drop(BUCKET_COL)
+    if matched_only:
+        src = src.join(target.select(*keys).distinct(), keys, "left_semi")
+    if update_policy == "row":
+        combined = target.unionByName(src)
+        live = resolve_live(combined, keys, payload)
+    else:
+        combined = target.withColumn(DEL_LSN_COL, F.lit(None).cast("long")).unionByName(src)
+        live = (
+            lww_winners_fieldwise(
+                combined, keys, payload, policy=update_policy, schema=snap.schema
+            )
+            .filter(F.col(OP_COL) != OP_DELETE)
+            .drop(DEL_LSN_COL)
+        )
+    live = live.withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
     replaces = table.write_data_files(live, version, write_partitions=salt)
     winners.unpersist()
     return {}, replaces, changed

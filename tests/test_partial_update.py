@@ -1,0 +1,173 @@
+"""D6/D7/D11 merge modes: selective-field (coalesce) upserts, blank-
+preserving upserts, and matched-only updates.
+
+Reference parity: ``consent/ConsentController.java:170-189`` (PUT
+/consent/counts — ``Optional.ifPresent`` setters update only provided
+fields, 404 instead of insert) and
+``facet/FacetLoaderService.java:168-174,285-286`` (``defaultIfBlank`` /
+``isNotBlank`` guards preserve target values on blank source fields).
+"""
+
+import datetime
+
+from picsure_dictionary_etl_spark.cdc.envelope import (
+    TRANSCRIPT_KEY,
+    change_event_schema,
+    transcript_table_schema,
+)
+from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+TS1 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+TS2 = datetime.datetime(2025, 2, 2, 8, 30, 0)
+PAYLOAD = ["role", "text", "tool", "ts"]
+
+
+def _table(spark, tmp_path):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"],
+        bucket_count=4,
+    )
+
+
+def _events(spark, rows):
+    # rows: (lsn, op, conv_id, turn_idx, role, text, tool, ts)
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], *r[4:]) for r in rows], change_event_schema()
+    )
+
+
+def _state(table):
+    live = resolve_live(table.read(), TRANSCRIPT_KEY, PAYLOAD)
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in live.collect()
+    }
+
+
+def _seed(spark, table):
+    full = _events(
+        spark,
+        [
+            (1, "I", "c1", 0, "user", "hello", None, TS1),
+            (2, "I", "c1", 1, "assistant", "hi", "search", TS1),
+        ],
+    )
+    merge_into(table, full, "seed")
+
+
+def test_coalesce_preserves_unspecified_fields(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    partial = _events(
+        spark,
+        [
+            # only text specified: role/tool/ts must survive from the target
+            (3, "U", "c1", 0, None, "hello-edited", None, None),
+            # unmatched key without matched_only: inserts with null gaps
+            (4, "U", "c2", 0, None, "orphan", None, None),
+        ],
+    )
+    merge_into(t, partial, "b2", update_policy="coalesce")
+    s = _state(t)
+    assert s[("c1", 0)] == ("user", "hello-edited", None, TS1)
+    assert s[("c1", 1)] == ("assistant", "hi", "search", TS1)
+    assert s[("c2", 0)] == (None, "orphan", None, None)
+
+
+def test_blank_preserve_keeps_target_on_blank_strings(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    partial = _events(
+        spark,
+        [
+            # '' role and whitespace text are "not provided"; tool updates
+            (3, "U", "c1", 1, "", "   ", "calc", TS2),
+        ],
+    )
+    merge_into(t, partial, "b2", update_policy="blank_preserve")
+    s = _state(t)
+    assert s[("c1", 1)] == ("assistant", "hi", "calc", TS2)
+
+
+def test_matched_only_never_inserts(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    batch = _events(
+        spark,
+        [
+            (3, "U", "c1", 0, None, "updated", None, None),
+            (4, "I", "c9", 9, "user", "should-not-appear", None, TS2),
+        ],
+    )
+    merge_into(t, batch, "b2", update_policy="coalesce", matched_only=True)
+    s = _state(t)
+    assert s[("c1", 0)] == ("user", "updated", None, TS1)
+    assert ("c9", 9) not in s
+
+
+def test_delete_resets_fields_within_batch(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    batch = _events(
+        spark,
+        [
+            # delete then partial re-insert in ONE batch: pre-delete
+            # fields (role=user, ts) must NOT leak into the fresh row
+            (10, "D", "c1", 0, None, None, None, None),
+            (11, "I", "c1", 0, None, "fresh", None, None),
+        ],
+    )
+    merge_into(t, batch, "b2", update_policy="coalesce")
+    s = _state(t)
+    assert s[("c1", 0)] == (None, "fresh", None, None)
+
+
+def test_delete_across_batches_then_partial_insert(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    merge_into(t, _events(spark, [(10, "D", "c1", 0, None, None, None, None)]), "b2")
+    assert ("c1", 0) not in _state(t)
+    merge_into(
+        t,
+        _events(spark, [(11, "I", "c1", 0, None, "reborn", None, None)]),
+        "b3",
+        update_policy="coalesce",
+    )
+    s = _state(t)
+    # the committed delete removed the row; the partial insert starts clean
+    assert s[("c1", 0)] == (None, "reborn", None, None)
+
+
+def test_partial_batch_redelivery_is_noop(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    partial = _events(spark, [(3, "U", "c1", 0, None, "edited", None, None)])
+    merge_into(t, partial, "b2", update_policy="coalesce")
+    v1 = t.current().version
+    s1 = _state(t)
+    r = merge_into(t, partial, "b2", update_policy="coalesce")
+    assert r.metrics.get("skipped_duplicate_batch")
+    assert t.current().version == v1
+    assert _state(t) == s1
+
+
+def test_multiple_partials_per_key_in_one_batch(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    batch = _events(
+        spark,
+        [
+            (3, "U", "c1", 0, None, "v3", None, None),
+            (4, "U", "c1", 0, "admin", None, None, None),
+            (5, "U", "c1", 0, None, None, "web", None),
+        ],
+    )
+    merge_into(t, batch, "b2", update_policy="coalesce")
+    s = _state(t)
+    # each field independently from its own latest specifier
+    assert s[("c1", 0)] == ("admin", "v3", "web", TS1)
