@@ -767,6 +767,43 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_lsh_bucket_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (the 100 TB scale path): probe ONLY
+    the query's sign-pattern bucket — at scale the bucket column is a
+    partition key and the probe is a partition-pruned scan — then exact
+    cosine top-5 within it. The md5-derived literal coefficient matrix
+    is reproduced by the oracle from the same formula."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_bucketed_topk(
+        e, list(qv), "vec_id", "embedding", k=5, planes=8
+    )
+
+
+def _sql_ann_lsh(dim: int = 64, planes: int = 8, k: int = 5) -> str:
+    coeffs = similarity.hyperplane_coeffs(dim, planes)
+
+    def arr(row):
+        return "[" + ", ".join(repr(c) for c in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], {arr(coeffs[p])}), 9) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]), 6) AS cosine_sim
+FROM b WHERE bucket = (SELECT qb FROM q)
+ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_ANN_LSH_BUCKET_TOPK = _sql_ann_lsh(64, 8, 5)
+
+
 def q_regex_extract_families(spark, sf_dir):
     """B9: regex family extraction (the month-pattern analog) — numeric
     group pulled out of a formatted code, distinct + counted."""
@@ -900,10 +937,10 @@ FROM nation
 
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH banded candidate pairs. The ``portable=True`` hash
-    stream (min of 16-hex-char md5 prefixes per seed, band hash = md5 of
-    the band's mins) has an exact DuckDB twin — full oracle parity while
-    keeping the banded (band_idx, band_hash) shuffle shape. The default
-    xxhash64 path stays the production fast path."""
+    stream (one md5 per shingle -> Carter-Wegman seed family mod 2^31-1,
+    band hash = md5 of the band's mins) has an exact DuckDB twin — full
+    oracle parity while keeping the banded (band_idx, band_hash) shuffle
+    shape. The default xxhash64 path stays the production fast path."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, portable=True
@@ -912,13 +949,13 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 
 def _sql_minhash_lsh(num_hashes: int = 32, bands: int = 8) -> str:
     r = num_hashes // bands
+    p = 2_147_483_647
     sig_cols = ",\n         ".join(
-        f"min(substring(md5(shingle || '|' || '{k}'), 1, 16)) AS h{k}"
-        for k in range(num_hashes)
+        f"min((a*{k + 1} + b) % {p}) AS h{k}" for k in range(num_hashes)
     )
     band_selects = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5({parts} || '|' || '{b}') AS band_hash FROM sig".format(
-            b=b, parts=" || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts}, '{b}')) AS band_hash FROM sig".format(
+            b=b, parts=", ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
         )
         for b in range(bands)
     )
@@ -931,9 +968,15 @@ grams AS (
   FROM words, (SELECT unnest(generate_series(1, 10000)) AS i) s
   WHERE i <= len(w) - 2
 ),
+hashes AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS a,
+         ('0x' || substring(md5(shingle), 17, 15))::BIGINT % {p} AS b
+  FROM grams
+),
 sig AS (
   SELECT doc_id, {sig_cols}
-  FROM grams GROUP BY doc_id
+  FROM hashes GROUP BY doc_id
 ),
 banded AS (
   {band_selects}
@@ -949,19 +992,16 @@ SQL_MINHASH_LSH_CANDIDATES = _sql_minhash_lsh(32, 8)
 
 def q_simhash_duplicates(spark, sf_dir):
     """SimHash signature groups. ``portable=True`` derives word bits from
-    md5 hex nibbles (LSB-first) and renders the signature as a 16-char
-    hex string — bit-identical in DuckDB, full oracle parity."""
+    two 32-bit md5 hex slices (LSB-first) and renders the signature as a
+    16-char hex string — bit-identical in DuckDB, full oracle parity."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_duplicates(d, "doc_id", "text", portable=True)
 
 
 def _sql_simhash_duplicates() -> str:
-    nib_cols = ",\n         ".join(
-        f"strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1 AS n{i}"
-        for i in range(16)
-    )
     bit_cols = ",\n         ".join(
-        f"sum(((n{j // 4} >> {j % 4}) & 1) * 2 - 1) AS b{j}" for j in range(64)
+        f"sum(((x{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1) AS b{j}"
+        for j in range(64)
     )
     hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
     lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
@@ -969,13 +1009,15 @@ def _sql_simhash_duplicates() -> str:
 WITH words AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
 ),
-nibs AS (
-  SELECT doc_id, {nib_cols}
+ints AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 8))::BIGINT AS x1,
+         ('0x' || substring(md5(w), 9, 8))::BIGINT AS x2
   FROM words
 ),
 bits AS (
   SELECT doc_id, {bit_cols}
-  FROM nibs GROUP BY doc_id
+  FROM ints GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id, printf('%08x', {hi}) || printf('%08x', {lo}) AS simhash FROM bits
@@ -986,6 +1028,54 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 
 
 SQL_SIMHASH_DUPLICATES = _sql_simhash_duplicates()
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash Hamming-banded near-dup pairs: 4x16-bit pigeonhole blocks
+    generate candidates only within (block_idx, block_value) buckets
+    (never all-pairs), verified by two bit_count XORs; distance <= 3."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_hamming=3, portable=True)
+
+
+def _sql_simhash_near_dups(max_hamming: int = 3) -> str:
+    bit_cols = ",\n         ".join(
+        f"sum(((x{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1) AS b{j}"
+        for j in range(64)
+    )
+    hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
+    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
+    ham = "bit_count(xor(a.s_hi, b.s_hi)) + bit_count(xor(a.s_lo, b.s_lo))"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+),
+ints AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 8))::BIGINT AS x1,
+         ('0x' || substring(md5(w), 9, 8))::BIGINT AS x2
+  FROM words
+),
+bits AS (
+  SELECT doc_id, {bit_cols}
+  FROM ints GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {hi} AS s_hi, {lo} AS s_lo FROM bits),
+banded AS (
+  SELECT doc_id, s_hi, s_lo, 0 AS block_idx, (s_lo >> 0) & 65535 AS block_val FROM sig
+  UNION ALL SELECT doc_id, s_hi, s_lo, 1, (s_lo >> 16) & 65535 FROM sig
+  UNION ALL SELECT doc_id, s_hi, s_lo, 2, (s_hi >> 0) & 65535 FROM sig
+  UNION ALL SELECT doc_id, s_hi, s_lo, 3, (s_hi >> 16) & 65535 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups(3)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1073,8 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_topk_per_label": q_ann_topk_per_label,
+        "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_duplicates": q_simhash_duplicates,
+        "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1119,7 +1211,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
         "ann_topk_per_label": SQL_ANN_TOPK_PER_LABEL,
+        "ann_lsh_bucket_topk": SQL_ANN_LSH_BUCKET_TOPK,
         "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
         "simhash_duplicates": SQL_SIMHASH_DUPLICATES,
+        "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

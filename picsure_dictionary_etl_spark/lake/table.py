@@ -326,6 +326,36 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def truncate(self, reset_exactly_once: bool = True) -> Snapshot:
+        """H1/A14 clean-slate truncate: snapshot N+1 references ZERO data
+        files — a metadata-only commit (no file IO; superseded snapshots
+        stay time-travel readable until :meth:`vacuum`). With
+        ``reset_exactly_once`` the watermark and applied-batch history
+        also reset, so the same WAL can replay from scratch — the
+        reference's ``TRUNCATE ... CASCADE`` before a fresh load
+        (``Utility/DatabaseCleanupUtility.java:14-41``, invoked by
+        ``loading/DictionaryLoaderController.java:60-62``; pass
+        ``reset_exactly_once=False`` to keep the bookkeeping, the analog
+        of its preserved ``update_info`` table)."""
+        prev = self.current()
+        props = dict(prev.properties)
+        if reset_exactly_once:
+            props["watermark_lsn"] = -1
+            props["applied_batches"] = []
+        snap = Snapshot(
+            version=prev.version + 1,
+            parent=prev.version,
+            schema_json=prev.schema_json,
+            bucket_count=prev.bucket_count,
+            key_cols=prev.key_cols,
+            bucket_by=prev.bucket_by,
+            files={},
+            properties=props,
+            lineage={"truncate": True},
+        )
+        self._write_snapshot(snap)
+        return snap
+
     def vacuum(self, keep_snapshots: int = 2) -> dict[str, int]:
         """Remove data files unreferenced by the last ``keep_snapshots``
         snapshots, and manifests older than those (compaction + crash

@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# 2^31-1: modulus of the portable Carter-Wegman hash family (both
+# engines evaluate the arithmetic in exact int64, no overflow possible)
+MERSENNE31 = 2_147_483_647
+
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: one row per duplicate-set with the
@@ -107,17 +111,26 @@ def minhash_signatures(
 
     ``portable=False`` (default, fast path): xxhash64 with integer seeds,
     signature is ``array<long>``.
-    ``portable=True``: hash = first 16 hex chars of md5(shingle || '|k')
-    — lexicographic min of fixed-length hex strings equals numeric min,
-    and md5 has an exact twin in every SQL engine (used for DuckDB
-    oracle parity); signature is ``array<string>``.
+    ``portable=True``: one md5 per shingle feeding the Carter-Wegman
+    family ``(a*(k+1) + b) mod 2^31-1`` (a, b = 60-bit hex slices) —
+    md5 + exact int64 arithmetic have bit-identical twins in every SQL
+    engine (DuckDB oracle parity at ~1/32 the hashing cost of per-seed
+    md5); signature is ``array<long>``.
     """
     sh = word_shingles(df, id_col, text_col, n)
     if portable:
+        # ONE md5 per shingle; the K seed hashes are the 2-universal
+        # Carter-Wegman family h_k = (a*(k+1) + b) mod 2^31-1 over two
+        # 60-bit hex slices — arithmetic both engines evaluate
+        # identically (values stay far below int64 overflow)
+        h = F.md5(F.col("shingle"))
+        a = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(MERSENNE31))
+        b = F.pmod(F.conv(F.substring(h, 17, 15), 16, 10).cast("long"), F.lit(MERSENNE31))
+        sh = sh.select(F.col(id_col), a.alias("_a"), b.alias("_b"))
         mins = [
-            F.min(
-                F.substring(F.md5(F.concat_ws("|", F.col("shingle"), F.lit(str(k)))), 1, 16)
-            ).alias(f"h{k}")
+            F.min(F.pmod(F.col("_a") * (k + 1) + F.col("_b"), F.lit(MERSENNE31))).alias(
+                f"h{k}"
+            )
             for k in range(num_hashes)
         ]
     else:
@@ -148,7 +161,9 @@ def minhash_lsh_candidates(
     def band_hash(b: int):
         elems = [F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         if portable:
-            return F.md5(F.concat_ws("|", *elems, F.lit(str(b))))
+            return F.md5(
+                F.concat_ws("|", *[e.cast("string") for e in elems], F.lit(str(b)))
+            )
         return F.xxhash64(*elems, F.lit(b))
 
     banded = sig.select(
@@ -170,69 +185,72 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64, portable: bool = False
+def simhash_halves(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
-    """64-bit SimHash over word features: bit j of the signature is the
-    sign of sum over words of (+1 if hash(word) bit j else -1).
+    """64-bit SimHash as two unsigned 32-bit halves (id, s_hi, s_lo):
+    bit j of the signature is the sign of the sum over words of
+    (+1 if hash(word) bit j else -1).
 
     Relational formulation: explode words -> per (doc, bit) weighted
-    sum -> assemble. Two hash aggregates, no UDF.
+    sum -> assemble. Two hash aggregates, no UDF. The halves
+    representation keeps the Hamming math (two bit_count XORs) inside
+    positive int64 range — a full 64-bit long would overflow at bit 63
+    under ANSI mode.
 
-    ``portable=False`` (default, fast path): xxhash64 word hashes,
-    signature is a ``long``. ``portable=True``: word bits come from the
-    first 16 hex chars of md5(word) (nibble i, LSB-first within the
-    nibble), signature rendered as a 16-char lowercase hex string —
-    bit-for-bit reproducible in any SQL engine (DuckDB oracle parity).
-    """
+    ``portable=False`` (default, fast path): xxhash64 word hashes.
+    ``portable=True``: word bits come from two 32-bit hex slices of
+    md5(word) (bits 0-31 from chars 1-8, 32-63 from chars 9-16,
+    LSB-first) — bit-for-bit reproducible in any SQL engine."""
     words = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
     )
     if portable:
-        h = F.substring(F.md5(F.col("w")), 1, 16)
-        nibs = words.select(
+        h = F.md5(F.col("w"))
+        hashed = words.select(
             F.col(id_col),
-            *[
-                F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
-                for i in range(16)
-            ],
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("x1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("x2"),
         )
-        per_bit = nibs.select(
-            F.col(id_col),
-            *[
-                (F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                    f"b{j}"
-                )
-                for j in range(64)
-            ],
-        ).groupBy(id_col).agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)])
-        lo = F.lit(0).cast("long")
-        for j in range(32):
-            lo = lo + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-        hi = F.lit(0).cast("long")
-        for j in range(32, 64):
-            hi = hi + F.when(F.col(f"b{j}") > 0, F.lit(2 ** (j - 32)).cast("long")).otherwise(
-                F.lit(0)
-            )
+        bit = lambda j: F.shiftright(  # noqa: E731
+            F.col("x1" if j < 32 else "x2"), j % 32
+        ).bitwiseAND(F.lit(1))
+    else:
+        hashed = words.withColumn("h", F.xxhash64("w"))
+        bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+
+    per_bit = hashed.select(
+        F.col(id_col), *[(bit(j) * 2 - 1).alias(f"b{j}") for j in range(64)]
+    ).groupBy(id_col).agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)])
+
+    def half(lo_bit: int) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for j in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(
+                F.col(f"b{j}") > 0, F.lit(2 ** (j - lo_bit)).cast("long")
+            ).otherwise(F.lit(0))
+        return acc
+
+    return per_bit.select(F.col(id_col), half(32).alias("s_hi"), half(0).alias("s_lo"))
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """One-column SimHash signature per doc. Fast path: signed ``long``
+    (bit 63 maps to the sign bit). Portable: 16-char lowercase hex
+    string — identical text in any SQL engine (DuckDB oracle parity)."""
+    halves = simhash_halves(df, id_col, text_col, portable=portable)
+    if portable:
         sig = F.concat(
-            F.lpad(F.lower(F.conv(hi.cast("string"), 10, 16)), 8, "0"),
-            F.lpad(F.lower(F.conv(lo.cast("string"), 10, 16)), 8, "0"),
+            F.lpad(F.lower(F.conv(F.col("s_hi").cast("string"), 10, 16)), 8, "0"),
+            F.lpad(F.lower(F.conv(F.col("s_lo").cast("string"), 10, 16)), 8, "0"),
         )
-        return per_bit.select(F.col(id_col), sig.alias("simhash"))
-    words = words.withColumn("h", F.xxhash64("w"))
-    per_bit = words.select(
-        F.col(id_col),
-        *[
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{j}")
-            for j in range(bits)
-        ],
-    ).groupBy(id_col).agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)])
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
-    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+    else:
+        # bitwise assembly: bit 63 lands in the long's sign bit (a
+        # shift is a bit op, not arithmetic — no ANSI overflow)
+        sig = F.shiftleft(F.col("s_hi"), 32).bitwiseOR(F.col("s_lo"))
+    return halves.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -244,4 +262,54 @@ def simhash_duplicates(
         s.groupBy("simhash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding (the classic Manku/Jain/Sarma trick): the 64-bit
+    signature splits into 4 x 16-bit blocks; any pair within distance 3
+    agrees on at least one block, so candidate pairs are generated ONLY
+    inside (block_idx, block_value) buckets — never all-pairs; shuffle
+    volume is O(docs x 4). Survivors verify with two bit_count XORs.
+    Requires ``max_hamming < 4`` (more blocks would be needed beyond)."""
+    if max_hamming >= 4:
+        raise ValueError("4-block banding guarantees recall only for max_hamming < 4")
+    sig = simhash_halves(df, id_col, text_col, portable=portable)
+    blocks = [
+        F.shiftright(F.col(h), s).bitwiseAND(F.lit(0xFFFF))
+        for h in ("s_lo", "s_hi")
+        for s in (0, 16)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        "s_hi",
+        "s_lo",
+        F.posexplode(F.array(*blocks)).alias("block_idx", "block_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.s_hi").bitwiseXOR(F.col("b.s_hi"))
+    ) + F.bit_count(F.col("a.s_lo").bitwiseXOR(F.col("b.s_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

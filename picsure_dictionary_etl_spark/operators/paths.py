@@ -52,6 +52,23 @@ def distinct_concept_nodes(df: DataFrame, path_col: str) -> DataFrame:
     )
 
 
+def subtree(df: DataFrame, root_path: str, path_col: str = "concept_path") -> DataFrame:
+    """H3: every node in the subtree rooted at ``root_path`` (the root
+    included). The reference BFS-walks descendants by ``parent_id`` with
+    a queue (``facet/FacetLoaderService.java:121-132``); under natural
+    path keys the whole walk collapses to one prefix predicate — a
+    pushed-down ``startswith`` scan filter, no N+1 queries, no driver
+    queue."""
+    return df.filter(F.col(path_col).startswith(root_path))
+
+
+def delete_subtree(df: DataFrame, root_path: str, path_col: str = "concept_path") -> DataFrame:
+    """H3 complement: the table minus the subtree — the BFS delete's
+    survivors (pair with a key-join to cascade mapping tables, the
+    reference's facet__concept cleanup)."""
+    return df.filter(~F.col(path_col).startswith(root_path))
+
+
 def leaf_paths(df: DataFrame, path_col: str) -> DataFrame:
     """E3: paths that are no other path's ancestor — a self left-anti
     join on the exploded prefix set (reference: ``WHERE NOT EXISTS

@@ -55,23 +55,38 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
-def hyperplane_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
+def hyperplane_coeffs(dim: int, planes: int = 8, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix: coefficient (p, d)
+    = md5-derived value in [-1, 1). Computed ONCE driver-side and
+    embedded as plan literals — zero shipped state, zero per-row
+    hashing (the previous xxhash64-in-a-lambda design re-derived every
+    coefficient for every row), and any engine reproduces the matrix
+    from the same published formula (DuckDB oracle parity)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{d}|{p}|{seed}".encode()).hexdigest()[:15], 16) % 2_000_000)
+            / 1_000_000.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, planes: int = 8, seed: int = 0, round_digits: int = 9
+) -> Column:
     """Sign-pattern bucket id from ``planes`` pseudo-random hyperplanes.
-    Plane p's coefficient for dimension d is a deterministic value in
-    [-1, 1) derived from xxhash64(d, p) — reproducible everywhere with
-    zero shipped state."""
+    The projection is rounded before the sign test so bucket ids are
+    stable across engines' float-sum orderings (same trick as
+    ``cosine_topk``'s pre-rank rounding)."""
+    coeffs = hyperplane_coeffs(dim, planes, seed)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        coeffs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (F.pmod(F.xxhash64(d, F.lit(p)), F.lit(2_000_000)).cast("double") / 1_000_000.0)
-            - 1.0,
-        )
-        proj = F.aggregate(
-            F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        plane = F.array(*[F.lit(c) for c in coeffs[p]])
+        proj = F.round(_dot(vec_col, plane), round_digits)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 

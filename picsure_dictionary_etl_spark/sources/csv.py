@@ -144,6 +144,52 @@ def read_ideal_ingest_csv(
 def read_json_payload(
     spark: SparkSession, df: DataFrame, json_col: str, schema: T.DataType
 ) -> DataFrame:
-    """A6/A7: JSON strings -> typed nested rows (``from_json``), parse
+    """A6: JSON strings -> typed nested rows (``from_json``), parse
     failures surfacing as nulls for the caller's dead-letter split."""
     return df.withColumn("_parsed", F.from_json(F.col(json_col), schema))
+
+
+CURATED_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("concept_path", T.StringType()),
+        T.StructField("display", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def read_curated_json(
+    spark: SparkSession, path: str, dataset_ref: str
+) -> tuple[DataFrame, DataFrame]:
+    """A7: curated-JSON concept source (``PUT /concept/curated``,
+    ``concept/ConceptController.java:267-355``) — a JSON array of
+    ``{name, concept_path, display?, metadata: {k: v}}`` objects.
+
+    Returns (concepts, metadata-EAV). Parity notes: concept_type is
+    pinned categorical (``:290``; the engine's lowercase spelling),
+    display defaults to name (``:296-302``), newlines normalize to
+    spaces; the reference's ``''`` quote-doubling is dropped (B10 — the
+    plans are parameterized, not string-spliced SQL). The nested
+    metadata object explodes to (concept_path, key, value) rows via
+    ``map_entries`` — no per-row Python, unlike the reference's
+    JSONObject loop (``:330-344``)."""
+    raw = (
+        spark.read.option("multiLine", "true").schema(CURATED_JSON_SCHEMA).json(path)
+    )
+
+    def clean(c):
+        return F.regexp_replace(c, "\n", " ")
+
+    concepts = raw.select(
+        F.lit(dataset_ref).alias("dataset_ref"),
+        clean(F.col("name")).alias("name"),
+        clean(F.coalesce(F.col("display"), F.col("name"))).alias("display"),
+        F.lit("categorical").alias("concept_type"),
+        clean(F.col("concept_path")).alias("concept_path"),
+    )
+    meta = raw.select(
+        clean(F.col("concept_path")).alias("concept_path"),
+        F.explode(F.map_entries(F.col("metadata"))).alias("_kv"),
+    ).select("concept_path", F.col("_kv.key").alias("key"), F.col("_kv.value").alias("value"))
+    return concepts, meta
