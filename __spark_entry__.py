@@ -656,6 +656,59 @@ WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Composed training-data curation pipeline: quality gate (length)
+    + near-dup removal (drop the higher-id side of every Jaccard>=0.5
+    pair) in one plan — the filter a pretraining corpus pass runs.
+    Both stages reuse the library operators; Catalyst fuses the quality
+    projection and pushes the anti-join after the (already-capped)
+    candidate generation."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d.select("doc_id", "text")).filter(F.col("n_tokens") >= 40)
+    losers = (
+        dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=100)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return q.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "mean_token_len"
+    )
+
+
+SQL_CORPUS_CURATION = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, (SELECT unnest(generate_series(1, 10000)) AS i) s
+  WHERE i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id),
+rare AS (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 100),
+gr AS (SELECT g.doc_id, g.shingle FROM grams g JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM gr a JOIN gr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+losers AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+),
+quality AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, n_tokens, mean_token_len
+FROM quality
+WHERE n_tokens >= 40 AND doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: token/punct/stopword ratios."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -802,6 +855,41 @@ ORDER BY cosine_sim DESC, vec_id LIMIT {k}
 
 
 SQL_ANN_LSH_BUCKET_TOPK = _sql_ann_lsh(64, 8, 5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-bucketed candidates
+    (never all-pairs) + exact cosine verify. The synthetic embeddings
+    have no true near-dups (max in-bucket cosine ~0.41), so the
+    threshold is set low enough (0.35) that the banded join + verify
+    path produces checkable rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        e, "vec_id", "embedding", threshold=0.35, planes=8
+    )
+
+
+def _sql_embedding_near_dups(dim: int = 64, planes: int = 8, threshold: float = 0.35) -> str:
+    coeffs = similarity.hyperplane_coeffs(dim, planes)
+
+    def arr(row):
+        return "[" + ", ".join(repr(c) for c in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], {arr(coeffs[p])}), 9) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups(64, 8, 0.35)
 
 
 def q_regex_extract_families(spark, sf_dir):
@@ -1157,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_json_hash": q_canonical_json_hash,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "token_counts": q_token_counts,
@@ -1164,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_topk_per_label": q_ann_topk_per_label,
         "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_duplicates": q_simhash_duplicates,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1205,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_json_hash": SQL_CANONICAL_JSON_HASH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "corpus_curation": SQL_CORPUS_CURATION,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_scores": SQL_LANG_SCORES,
         "token_counts": SQL_TOKEN_COUNTS,
@@ -1212,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
         "ann_topk_per_label": SQL_ANN_TOPK_PER_LABEL,
         "ann_lsh_bucket_topk": SQL_ANN_LSH_BUCKET_TOPK,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
         "simhash_duplicates": SQL_SIMHASH_DUPLICATES,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,

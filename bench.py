@@ -91,17 +91,25 @@ def bench_cdc(spark, workdir: str, n_events: int, n_batches: int) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, runs: int = 2) -> tuple[dict[str, float], float]:
+    """Per-query seconds (best of ``runs`` — the sustained time; run 1
+    pays plan compile + codegen JIT, which a long-lived service pays
+    once) plus the cold first-run total for transparency."""
     import __spark_entry__ as entry
 
     out: dict[str, float] = {}
+    cold_total = 0.0
     for name, fn in entry.queries().items():
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize
-        out[name] = round(time.monotonic() - t0, 3)
-        _ = n
-    return out
+        best = None
+        for r in range(max(1, runs)):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()  # materialize
+            dt = time.monotonic() - t0
+            if r == 0:
+                cold_total += dt
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out, round(cold_total, 3)
 
 
 def main() -> None:
@@ -119,7 +127,8 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="spark_graft_bench_")
     try:
         cdc = bench_cdc(spark, workdir, n_events, n_batches)
-        queries = bench_queries(spark, sf_dir)
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "2"))
+        queries, cold_total = bench_queries(spark, sf_dir, runs)
         print(
             json.dumps(
                 {
@@ -131,6 +140,7 @@ def main() -> None:
                     "cpus": cpus,
                     "cdc": cdc,
                     "queries_total_sec": round(sum(queries.values()), 3),
+                    "queries_cold_total_sec": cold_total,
                 }
             )
         )

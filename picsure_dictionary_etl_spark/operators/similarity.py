@@ -114,6 +114,43 @@ def lsh_bucketed_topk(
     return cosine_topk(cand, query_vec, id_col, vec_col, k)
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    planes: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates are generated ONLY
+    inside hyperplane sign buckets (two vectors at cosine >= ~0.98 agree
+    on almost every random hyperplane, so same-bucket recall is high),
+    then verified exactly. Never all-pairs: shuffle key = bucket id; at
+    scale the bucket is a partition column and each bucket's candidate
+    join is local. Multi-probe (flipping low-margin bits) would raise
+    recall further — documented extension, same plan shape."""
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("_b"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     query_vec: list[float],

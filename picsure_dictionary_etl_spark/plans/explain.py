@@ -48,3 +48,14 @@ def assert_broadcast_join(df: DataFrame) -> str:
         f"no broadcast join in plan:\n{plan}"
     )
     return plan
+
+
+def assert_exchange_count(df: DataFrame, expected: int) -> str:
+    """Assert the executed plan contains exactly ``expected`` shuffle
+    Exchange operators — the single-shuffle batch-plan property the
+    CDC merge depends on (an accidental second exchange doubles the
+    shuffle volume at 100 TB)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = sum(1 for l in plan.splitlines() if "Exchange" in l and "Reused" not in l)
+    assert got == expected, f"expected {expected} exchanges, found {got}:\n{plan}"
+    return plan

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from picsure_dictionary_etl_spark.plans.explain import (
     assert_broadcast_join,
+    assert_exchange_count,
     assert_pushed_filters,
     assert_read_schema_only,
 )
@@ -40,3 +41,42 @@ def test_study_filter_pushdown(spark, sf_dir):
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     q = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
     assert_pushed_filters(q, "EqualTo(r_name,ASIA)")
+
+
+def _cdc_frame(spark):
+    from picsure_dictionary_etl_spark.lake.table import bucket_expr
+
+    df = spark.range(1000).select(
+        F.col("id").alias("_lsn"),
+        F.lit("U").alias("_op"),
+        (F.col("id") % 50).cast("string").alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("role"),
+    )
+    return df.withColumn("_bucket", bucket_expr(["conv_id"], 8)).repartition(
+        F.col("_bucket")
+    )
+
+
+def test_lww_reduce_is_single_shuffle(spark):
+    """The batch MERGE's one-exchange plan: repartition(_bucket) is the
+    ONLY exchange; the (bucket, keys) groupBy's distribution is already
+    satisfied, so the LWW reduce runs exchange-free."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners
+
+    w = lww_winners(_cdc_frame(spark), ["conv_id", "turn_idx"], ["text", "role"],
+                    carry_cols=["_bucket"])
+    assert_exchange_count(w, 1)
+
+
+def test_fieldwise_reduce_is_single_shuffle(spark):
+    """The partial-update (D6/D7) reduce keeps the same one-exchange
+    property — per-column max_by aggregates add no shuffle."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners_fieldwise
+
+    w = lww_winners_fieldwise(
+        _cdc_frame(spark), ["conv_id", "turn_idx"], ["text", "role"],
+        carry_cols=["_bucket"],
+    )
+    assert_exchange_count(w, 1)
