@@ -1086,14 +1086,30 @@ def q_simhash_duplicates(spark, sf_dir):
     return dedup.simhash_duplicates(d, "doc_id", "text", portable=True)
 
 
-def _sql_simhash_duplicates() -> str:
-    bit_cols = ",\n         ".join(
-        f"sum(((x{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1) AS b{j}"
-        for j in range(64)
+def _simhash_sql_fragments() -> tuple[str, str, str]:
+    """Shared DuckDB fragments mirroring dedup.simhash_halves' packed
+    encoding: (packs CTE aggregates, hi expr, lo expr). Bit j of
+    md5(word) lives in x1/x2 (two 32-bit hex slices); 4 bit-counts pack
+    per 16-bit lane of p0..p15; bit j of the signature is set iff
+    2*count > n_words (tie -> 0, same as the ±1 sum's sign)."""
+
+    def b(j: int) -> str:
+        return f"((x{1 if j < 32 else 2} >> {j % 32}) & 1)"
+
+    pack_cols = ",\n         ".join(
+        "sum(" + " + ".join(f"{b(4 * g + lane)} * {2 ** (16 * lane)}" for lane in range(4)) + f") AS p{g}"
+        for g in range(16)
     )
-    hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
-    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
-    return f"""
+
+    def set_bit(j: int) -> str:
+        return f"2*((p{j // 4} >> {16 * (j % 4)}) & 65535) > n"
+
+    hi = " + ".join(f"CASE WHEN {set_bit(j)} THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
+    lo = " + ".join(f"CASE WHEN {set_bit(j)} THEN {2 ** j} ELSE 0 END" for j in range(32))
+    return pack_cols, hi, lo
+
+
+_SIMHASH_SQL_PREFIX = """
 WITH words AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
 ),
@@ -1103,12 +1119,18 @@ ints AS (
          ('0x' || substring(md5(w), 9, 8))::BIGINT AS x2
   FROM words
 ),
-bits AS (
-  SELECT doc_id, {bit_cols}
+packs AS (
+  SELECT doc_id, {pack_cols},
+         count(*) AS n
   FROM ints GROUP BY doc_id
-),
+)"""
+
+
+def _sql_simhash_duplicates() -> str:
+    pack_cols, hi, lo = _simhash_sql_fragments()
+    return _SIMHASH_SQL_PREFIX.format(pack_cols=pack_cols) + f""",
 sig AS (
-  SELECT doc_id, printf('%08x', {hi}) || printf('%08x', {lo}) AS simhash FROM bits
+  SELECT doc_id, printf('%08x', {hi}) || printf('%08x', {lo}) AS simhash FROM packs
 )
 SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_docs
 FROM sig GROUP BY simhash HAVING count(*) > 1
@@ -1127,28 +1149,10 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def _sql_simhash_near_dups(max_hamming: int = 3) -> str:
-    bit_cols = ",\n         ".join(
-        f"sum(((x{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1) AS b{j}"
-        for j in range(64)
-    )
-    hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END" for j in range(32, 64))
-    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
+    pack_cols, hi, lo = _simhash_sql_fragments()
     ham = "bit_count(xor(a.s_hi, b.s_hi)) + bit_count(xor(a.s_lo, b.s_lo))"
-    return f"""
-WITH words AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
-),
-ints AS (
-  SELECT doc_id,
-         ('0x' || substring(md5(w), 1, 8))::BIGINT AS x1,
-         ('0x' || substring(md5(w), 9, 8))::BIGINT AS x2
-  FROM words
-),
-bits AS (
-  SELECT doc_id, {bit_cols}
-  FROM ints GROUP BY doc_id
-),
-sig AS (SELECT doc_id, {hi} AS s_hi, {lo} AS s_lo FROM bits),
+    return _SIMHASH_SQL_PREFIX.format(pack_cols=pack_cols) + f""",
+sig AS (SELECT doc_id, {hi} AS s_hi, {lo} AS s_lo FROM packs),
 banded AS (
   SELECT doc_id, s_hi, s_lo, 0 AS block_idx, (s_lo >> 0) & 65535 AS block_val FROM sig
   UNION ALL SELECT doc_id, s_hi, s_lo, 1, (s_lo >> 16) & 65535 FROM sig

@@ -417,6 +417,50 @@ def _mor_write(table, snap, winners, keys, payload, salt, version, threshold):
     return appends, replaces, to_compact
 
 
+def iceberg_merge_sql(
+    target: str,
+    source: str,
+    key_cols: list[str],
+    payload_cols: list[str],
+    update_policy: str = "row",
+    matched_only: bool = False,
+    string_cols: set[str] | None = None,
+) -> str:
+    """The exact Iceberg ``MERGE INTO`` statement this module's merge
+    implements — the drop-in equivalent on a cluster with Iceberg
+    extensions (the integration seam documented in the module
+    docstring). ``source`` must be the LWW-reduced winners view (one row
+    per key, ``lww_winners`` / ``lww_winners_fieldwise`` output).
+
+    Policies render as per-column UPDATE SET lists: ``coalesce`` (D7)
+    -> ``coalesce(s.c, t.c)``; ``blank_preserve`` (D6) ->
+    ``coalesce(nullif(trim(s.c), ''), t.c)`` for ``string_cols``.
+    ``matched_only`` (D11) drops the NOT MATCHED clause."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    if update_policy == "row":
+        set_clause = "UPDATE SET *"
+    else:
+        strings = string_cols or set()
+        parts = []
+        for c in payload_cols:
+            if update_policy == "blank_preserve" and c in strings:
+                parts.append(f"t.{c} = coalesce(nullif(trim(s.{c}), ''), t.{c})")
+            else:
+                parts.append(f"t.{c} = coalesce(s.{c}, t.{c})")
+        parts += [f"t.{LSN_COL} = s.{LSN_COL}", f"t.{OP_COL} = s.{OP_COL}"]
+        set_clause = "UPDATE SET " + ", ".join(parts)
+    lines = [
+        f"MERGE INTO {target} t",
+        f"USING {source} s",
+        f"ON {on}",
+        f"WHEN MATCHED AND s.{OP_COL} = 'D' AND s.{LSN_COL} > t.{LSN_COL} THEN DELETE",
+        f"WHEN MATCHED AND s.{LSN_COL} > t.{LSN_COL} THEN {set_clause}",
+    ]
+    if not matched_only:
+        lines.append(f"WHEN NOT MATCHED AND s.{OP_COL} <> 'D' THEN INSERT *")
+    return "\n".join(lines)
+
+
 def _bucket_row_counts(table: LakeTable, bucket_files: dict[str, list[str]]) -> dict[str, int]:
     """Per-partition rows-applied lineage, read from Parquet footers —
     metadata-only, no extra Spark job."""

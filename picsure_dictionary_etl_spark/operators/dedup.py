@@ -219,19 +219,35 @@ def simhash_halves(
         hashed = words.withColumn("h", F.xxhash64("w"))
         bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
 
-    per_bit = hashed.select(
-        F.col(id_col), *[(bit(j) * 2 - 1).alias(f"b{j}") for j in range(64)]
-    ).groupBy(id_col).agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)])
+    # Packed counters: 4 bit-counts per long (16-bit lanes), so the
+    # aggregate carries 16 sums + 1 count instead of 64 sums — 3.5x
+    # less aggregation state and a much smaller codegen'd update loop.
+    # Lane g holds count-of-ones for bit 4g+l; the ±1 signed sum is
+    # recovered as 2*count > n_words (tie -> bit 0, same as sum=0).
+    # Lane capacity bounds docs at 65535 words — far above any
+    # realistic shingle/word explosion per document.
+    packed_cols = [
+        sum(
+            (bit(4 * g + lane) * F.lit(2 ** (16 * lane)).cast("long") for lane in range(4)),
+            F.lit(0).cast("long"),
+        ).alias(f"p{g}")
+        for g in range(16)
+    ]
+    packs = hashed.select(F.col(id_col), *packed_cols).groupBy(id_col).agg(
+        *[F.sum(f"p{g}").alias(f"p{g}") for g in range(16)],
+        F.count(F.lit(1)).alias("_n"),
+    )
 
     def half(lo_bit: int) -> F.Column:
         acc = F.lit(0).cast("long")
         for j in range(lo_bit, lo_bit + 32):
+            c = F.shiftright(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(F.lit(0xFFFF))
             acc = acc + F.when(
-                F.col(f"b{j}") > 0, F.lit(2 ** (j - lo_bit)).cast("long")
+                c * 2 > F.col("_n"), F.lit(2 ** (j - lo_bit)).cast("long")
             ).otherwise(F.lit(0))
         return acc
 
-    return per_bit.select(F.col(id_col), half(32).alias("s_hi"), half(0).alias("s_lo"))
+    return packs.select(F.col(id_col), half(32).alias("s_hi"), half(0).alias("s_lo"))
 
 
 def simhash(

@@ -152,3 +152,60 @@ def test_lww_property_hypothesis(spark):
         assert got == state
 
     check()
+
+
+def test_fieldwise_property_hypothesis(spark):
+    """Property: for ANY partial-event sequence, the field-wise reduce
+    (D7 coalesce semantics) equals the sequential pandas oracle — each
+    field keeps the latest SPECIFIED value, deletes reset all fields."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.lake.merge import OP_COL, lww_winners_fieldwise
+    from pyspark.sql import functions as F
+
+    event = st.tuples(
+        st.integers(0, 2),                              # conv
+        st.integers(0, 2),                              # turn
+        st.sampled_from(["I", "U", "U", "D"]),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=3)),   # text
+        st.one_of(st.none(), st.sampled_from(["user", "tool"])),    # role
+    )
+
+    @given(st.lists(event, min_size=1, max_size=25))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(seq):
+        rows = [
+            (i, op, f"c{conv}", turn, role, text, None, None)
+            for i, (conv, turn, op, text, role) in enumerate(seq)
+        ]
+        df = spark.createDataFrame(rows, change_event_schema())
+        live = lww_winners_fieldwise(
+            df, ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"],
+            policy="coalesce",
+        ).filter(F.col(OP_COL) != "D")
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+            for r in live.collect()
+        }
+        state = {}
+        last_op = {}
+        for i, (conv, turn, op, text, role) in enumerate(seq):
+            key = (f"c{conv}", turn)
+            if op == "D":
+                state.pop(key, None)
+                last_op[key] = "D"
+                continue
+            cur = state.get(key, (None, None))
+            state[key] = (text if text is not None else cur[0],
+                          role if role is not None else cur[1])
+            last_op[key] = op
+        want = {k: v for k, v in state.items() if last_op[k] != "D"}
+        assert got == want
+
+    check()

@@ -171,3 +171,23 @@ def test_multiple_partials_per_key_in_one_batch(spark, tmp_path):
     s = _state(t)
     # each field independently from its own latest specifier
     assert s[("c1", 0)] == ("admin", "v3", "web", TS1)
+
+
+def test_iceberg_merge_sql_rendering():
+    """The documented Iceberg integration seam renders the exact
+    statement for each policy."""
+    from picsure_dictionary_etl_spark.lake.merge import iceberg_merge_sql
+
+    row = iceberg_merge_sql("lake.t", "winners", ["conv_id", "turn_idx"],
+                            ["role", "text"])
+    assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in row
+    assert "THEN DELETE" in row and "UPDATE SET *" in row
+    assert "WHEN NOT MATCHED AND s._op <> 'D' THEN INSERT *" in row
+
+    part = iceberg_merge_sql(
+        "lake.t", "winners", ["conv_id"], ["role", "text"],
+        update_policy="blank_preserve", matched_only=True,
+        string_cols={"role", "text"},
+    )
+    assert "t.role = coalesce(nullif(trim(s.role), ''), t.role)" in part
+    assert "NOT MATCHED" not in part
