@@ -1205,6 +1205,50 @@ FROM m
 """
 
 
+_SQL_MEDIA_DIMS = """
+  SELECT doc_id AS media_id,
+         ('0x' || substring(md5(doc_id::VARCHAR || '|w'), 1, 15))::BIGINT % 1920 AS width,
+         ('0x' || substring(md5(doc_id::VARCHAR || '|h'), 1, 15))::BIGINT % 1080 AS height,
+         ('0x' || substring(md5(doc_id::VARCHAR || '|d'), 1, 15))::BIGINT % 60000 AS duration_ms
+  FROM documents
+"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """mapInPandas image-resize plumbing: aspect-preserving downscale to
+    max side 256 (pixel work stubbed; dimension arithmetic is the real
+    vectorized-numpy contract, oracle-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.resize_images(media, max_side=256).select(
+        "media_id", "kind", "out_width", "out_height"
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH m AS ({_SQL_MEDIA_DIMS})
+SELECT media_id, 'image' AS kind,
+       CAST(floor(width * least(1.0, 256.0 / greatest(greatest(width, height), 1))) AS INT) AS out_width,
+       CAST(floor(height * least(1.0, 256.0 / greatest(greatest(width, height), 1))) AS INT) AS out_height
+FROM m
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling grid at 1 fps: 1 -> N row expansion via a
+    codegen'd sequence+posexplode over the clip duration."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d, kind="video")
+    return multimodal.sample_frames(media, fps=1.0)
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH m AS ({_SQL_MEDIA_DIMS})
+SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS frame_ts_ms
+FROM m, LATERAL unnest(generate_series(0, CAST(floor(duration_ms / 1000) AS INT))) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1262,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_duplicates": q_simhash_duplicates,
         "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1312,4 +1358,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_duplicates": SQL_SIMHASH_DUPLICATES,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     }

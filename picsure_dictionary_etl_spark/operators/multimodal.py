@@ -40,14 +40,23 @@ FEATURE_SCHEMA = T.StructType(
 
 def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Adapter for tests/bench: wrap the documents table's text bytes as
-    opaque media payloads with plausible metadata."""
+    opaque media payloads with plausible metadata. Dims derive from the
+    portable md5 hex-slice hash so every downstream multimodal query
+    has an exact DuckDB oracle twin."""
+
+    def dim(seed: str, mod: int):
+        h = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(seed)))
+        return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(mod)).cast(
+            "int"
+        )
+
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(1920)).cast("int").alias("width"),
-        F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1080)).cast("int").alias("height"),
-        F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(60_000)).cast("int").alias("duration_ms"),
+        dim("w", 1920).alias("width"),
+        dim("h", 1080).alias("height"),
+        dim("d", 60_000).alias("duration_ms"),
     )
 
 
@@ -84,6 +93,83 @@ def extract_features(media: DataFrame, dim: int = 16, batch_hint: int | None = N
             yield out
 
     return media.mapInPandas(process, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, batch_hint: int | None = None
+) -> DataFrame:
+    """Image resize plumbing over ``mapInPandas``: aspect-preserving
+    downscale to ``max_side``. The pixel work is STUBBED (no PIL in
+    this container — production swaps the payload line for
+    ``Image.open(io.BytesIO(b)).thumbnail(...)``); the Spark-side
+    contract — Arrow batch shape, dimension arithmetic, binary
+    passthrough, schema — is real and oracle-tested. Dimension math is
+    vectorized numpy, not per-row Python."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype=np.float64)
+            h = pdf["height"].to_numpy(dtype=np.float64)
+            scale = np.minimum(1.0, max_side / np.maximum(np.maximum(w, h), 1.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": np.floor(w * scale).astype(np.int32),
+                    "out_height": np.floor(h * scale).astype(np.int32),
+                    # stub: real decoder would re-encode resized pixels
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return media.mapInPandas(process, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    at ``fps`` over the clip's ``duration_ms`` — the 1->N row expansion
+    a real ffmpeg frame extractor produces, expressed as a codegen'd
+    ``sequence``+``explode`` (the frame DECODE itself would join in a
+    ``mapInPandas`` stage like :func:`extract_features`; no Python is
+    needed for the sampling grid itself)."""
+    step_ms = int(1000 / fps)
+    n = F.greatest(
+        (F.coalesce(F.col("duration_ms"), F.lit(0)) / step_ms).cast("int"), F.lit(0)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n)).alias("frame_idx", "_i"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.col("_i") * step_ms).cast("int").alias("frame_ts_ms"),
+        )
+    )
 
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
