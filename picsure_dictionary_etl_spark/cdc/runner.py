@@ -53,6 +53,19 @@ class RunnerConfig:
     # Leave None unless key skew concentrates a batch into few buckets —
     # the extra shuffle width costs ~15% when skew is absent.
     salt_partitions: int | None = None
+    # Adaptive skew response: watch each commit's per-bucket WINNER row
+    # counts (free — parquet footers in lineage; winners, not raw
+    # events, are what the write tasks feel: event-count skew alone is
+    # already absorbed by the map-side LWW combine) and engage salting
+    # for SUBSEQUENT batches when the hottest bucket exceeds
+    # auto_salt_factor x the median, disengaging when skew subsides.
+    # This is the single-writer analog of AQE's skew-join split, applied
+    # to the write path AQE cannot rebalance (the dynamic-partition
+    # writer's task-per-bucket layout).
+    auto_salt: bool = False
+    auto_salt_factor: float = 4.0
+    auto_salt_partitions: int = 4
+    auto_salt_min_rows: int = 10_000
     normalize: bool = True
     extra_fields: list[T.StructField] = field(default_factory=list)
 
@@ -61,6 +74,9 @@ class CdcRunner:
     def __init__(self, spark: SparkSession, config: RunnerConfig):
         self.spark = spark
         self.config = config
+        # adaptive salting state (None = not engaged); manual
+        # salt_partitions takes precedence when set
+        self._auto_salt_active: int | None = None
         if LakeTable.exists(config.table_root):
             self.table = LakeTable.load(spark, config.table_root)
         else:
@@ -133,18 +149,19 @@ class CdcRunner:
                 if f.endswith(".parquet")
             )
 
+        salt = self.config.salt_partitions or self._auto_salt_active
         result = merge_into(
             self.table,
             valid,
             batch_id,
             mode=self.config.merge_mode,
-            compact_threshold=self.config.compact_threshold
-            * (self.config.salt_partitions or 1),
-            salt_partitions=self.config.salt_partitions,
-            extra_lineage={"dead_letter_rows": dead_rows},
+            compact_threshold=self.config.compact_threshold * (salt or 1),
+            salt_partitions=salt,
+            extra_lineage={"dead_letter_rows": dead_rows, "salt_partitions": salt},
             watermark_lsn=watermark_lsn,
             post_reduce_transform=normalize_events if self.config.normalize else None,
         )
+        self._maybe_adapt_salt(result.metrics)
         if dead_obs is not None and not result.metrics.get("skipped_duplicate_batch"):
             try:
                 result.metrics["dead_letter_rows"] = int(dead_obs.get["dead_rows"] or 0)
@@ -205,6 +222,22 @@ class CdcRunner:
         return resolve_live(self.table.read(), keys, payload).select(*keys, *payload)
 
     # ---------- internals ----------
+
+    def _maybe_adapt_salt(self, metrics: dict) -> None:
+        """Engage/disengage auto-salting from the commit's per-bucket
+        row counts (parquet-footer lineage — zero extra jobs). Applies
+        from the NEXT batch: skew observed now predicts skew next batch
+        (hot conversations stay hot across LSN windows)."""
+        cfg = self.config
+        if not cfg.auto_salt or cfg.salt_partitions:
+            return
+        per_bucket = metrics.get("per_bucket_rows") or {}
+        rows = sorted(per_bucket.values())
+        if not rows or sum(rows) < cfg.auto_salt_min_rows:
+            return
+        median = rows[len(rows) // 2]
+        skewed = rows[-1] > cfg.auto_salt_factor * max(median, 1)
+        self._auto_salt_active = cfg.auto_salt_partitions if skewed else None
 
     def _evolve_for(self, events: DataFrame) -> None:
         """Additive schema evolution: new non-system event columns become

@@ -417,6 +417,62 @@ def _mor_write(table, snap, winners, keys, payload, salt, version, threshold):
     return appends, replaces, to_compact
 
 
+def table_changes(
+    table: LakeTable, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed between two snapshots (the Iceberg/Delta CDF
+    analog): one row per key whose live state differs, classified
+    ``_change ∈ I/U/D``, carrying the new row for I/U and the old key
+    for D. Downstream consumers chain incremental pipelines off this
+    instead of re-reading the table.
+
+    Plan shape: resolve both snapshots (bucket-pruned file reads), one
+    full outer join on the keys, change classification from null-side
+    and per-row hash comparison — no window, no collect."""
+    snap_to = table.snapshot(to_version)
+    keys = snap_to.key_cols
+    payload = _payload_cols(snap_to)
+
+    def live(version: int) -> DataFrame:
+        snap = table.snapshot(version)
+        df = table.read(snap).select(
+            *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
+        )
+        return resolve_live(df, keys, payload)
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]
+            )
+        )
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in keys],
+            *[F.col(c).alias(f"{side}_{c}") for c in payload],
+            F.col(LSN_COL).alias(f"{side}_lsn"),
+            h.alias(f"{side}_hash"),
+        )
+
+    old, new = hashed(live(from_version), "o"), hashed(live(to_version), "n")
+    cond = [old[f"o_{k}"] == new[f"n_{k}"] for k in keys]
+    joined = old.join(new, cond, "full_outer")
+    change = (
+        F.when(F.col(f"o_{keys[0]}").isNull(), F.lit("I"))
+        .when(F.col(f"n_{keys[0]}").isNull(), F.lit("D"))
+        .when(F.col("o_hash") != F.col("n_hash"), F.lit("U"))
+    )
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(
+            "_change",
+            *[F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys],
+            *[F.col(f"n_{c}").alias(c) for c in payload],
+            F.coalesce(F.col("n_lsn"), F.col("o_lsn")).alias(LSN_COL),
+        )
+    )
+
+
 def iceberg_merge_sql(
     target: str,
     source: str,

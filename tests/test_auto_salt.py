@@ -1,0 +1,78 @@
+"""Adaptive skew salting: per-bucket lineage from batch N engages
+salting for batch N+1 when one bucket dominates, final state unchanged."""
+
+import json
+
+from picsure_dictionary_etl_spark.cdc.generator import (
+    change_events,
+    expected_final_state,
+)
+from picsure_dictionary_etl_spark.cdc.normalize import normalize_events, split_dead_letter
+from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+
+def test_auto_salt_engages_on_skew_and_state_is_unchanged(spark, tmp_path):
+    # Winner-level skew is what the write path feels: event-count skew
+    # alone collapses in the map-side LWW combine, so the hot conv also
+    # needs many distinct turns (winners) to load its bucket.
+    events = change_events(
+        spark, 9000, n_convs=8, turns_per_conv=256,
+        hot_fraction=0.9, hot_convs=1,
+    )
+    lineage = str(tmp_path / "lineage.jsonl")
+    runner = CdcRunner(
+        spark,
+        RunnerConfig(
+            table_root=str(tmp_path / "t"),
+            lineage_path=lineage,
+            bucket_count=8,
+            auto_salt=True,
+            auto_salt_min_rows=500,
+            auto_salt_factor=3.0,
+        ),
+    )
+    runner.replay(events, lsn_step=3000)
+
+    lines = [json.loads(l) for l in open(lineage)]
+    assert len(lines) == 3
+    # batch 1 runs unsalted (no skew observed yet); the 90%-hot-conv
+    # bucket then trips the detector for subsequent batches
+    assert lines[0]["salt_partitions"] is None
+    assert any(l["salt_partitions"] for l in lines[1:])
+
+    # correctness is orthogonal to the physical salting decision
+    valid, _ = split_dead_letter(normalize_events(events))
+    want = expected_final_state(valid.toPandas())
+    got = (
+        runner.state()
+        .toPandas()[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got,
+        want[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_auto_salt_stays_off_without_skew(spark, tmp_path):
+    events = change_events(spark, 6000, n_convs=300, hot_fraction=0.0)
+    lineage = str(tmp_path / "lineage.jsonl")
+    runner = CdcRunner(
+        spark,
+        RunnerConfig(
+            table_root=str(tmp_path / "t"),
+            lineage_path=lineage,
+            bucket_count=8,
+            auto_salt=True,
+            auto_salt_min_rows=500,
+        ),
+    )
+    runner.replay(events, lsn_step=3000)
+    lines = [json.loads(l) for l in open(lineage)]
+    assert all(not l["salt_partitions"] for l in lines)
