@@ -70,3 +70,76 @@ def test_table_changes_classification(spark, tmp_path):
     first = table_changes(t, 0, v2)
     assert {r["_change"] for r in first.collect()} == {"I"}
     assert first.count() == 3
+
+
+def test_table_changes_property_hypothesis(spark, tmp_path):
+    """Property: for ANY two-chunk event sequence, table_changes(v1, v2)
+    equals the diff of the sequential pandas oracle states."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    event = st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 2),
+        st.sampled_from(["I", "U", "D"]),
+        st.text(alphabet="ab", max_size=3),
+    )
+
+    counter = {"n": 0}
+
+    @given(st.lists(event, min_size=1, max_size=16), st.integers(0, 16))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(seq, cut):
+        cut = min(cut, len(seq))
+        counter["n"] += 1
+        root = str(tmp_path / f"t{counter['n']}")
+        t = LakeTable.create(
+            spark, root, schema=transcript_table_schema(),
+            key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+        )
+
+        def ev(rows, off):
+            return spark.createDataFrame(
+                [
+                    (off + i, op, f"c{conv}", turn, "user", text, None, None)
+                    for i, (conv, turn, op, text) in enumerate(rows)
+                ],
+                change_event_schema(),
+            )
+
+        merge_into(t, ev(seq[:cut], 0), "b1")
+        v1 = t.current().version
+        merge_into(t, ev(seq[cut:], cut), "b2")
+        v2 = t.current().version
+
+        def oracle(upto):
+            state = {}
+            for conv, turn, op, text in seq[:upto]:
+                k = (f"c{conv}", turn)
+                if op == "D":
+                    state.pop(k, None)
+                else:
+                    state[k] = text
+            return state
+
+        s1, s2 = oracle(cut), oracle(len(seq))
+        want = {}
+        for k in s2.keys() - s1.keys():
+            want[k] = ("I", s2[k])
+        for k in s1.keys() - s2.keys():
+            want[k] = ("D", None)
+        for k in s1.keys() & s2.keys():
+            if s1[k] != s2[k]:
+                want[k] = ("U", s2[k])
+
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["_change"], r["text"])
+            for r in table_changes(t, v1, v2).collect()
+        }
+        assert got == want
+
+    check()
