@@ -32,9 +32,12 @@ Two physical strategies (Iceberg's copy-on-write vs merge-on-read):
 
 Common stages (all JVM-side codegen; zero Python on the hot path):
 
-1. **Batch LWW reduce** — ``groupBy(keys).agg(max_by(struct(payload), lsn))``.
-   Hash-partial combine collapses hot-key storms *before* the shuffle —
-   the skew story (a window row_number would full-sort instead).
+1. **Batch LWW reduce** — ``groupBy(keys).agg(max_by(struct(payload), lsn))``
+   (sort-based aggregate: struct buffers aren't hash-mutable, but still
+   no window/row_number full-sort-and-rank). Two shuffle shapes, picked
+   by ``combine_first``: single-shuffle bucket-first (default), or
+   map-side-combine-first when skew salting engages — the partial
+   aggregate then collapses hot-key storms *before* the shuffle.
 2. **Bucket pruning** — winners' distinct ``xxhash64(bucket_by) % n``
    decides which buckets are touched; everything else carries over.
 3. **Atomic commit** with watermark/batch-id properties (exactly-once).
@@ -81,10 +84,13 @@ def lww_winners(
 ) -> DataFrame:
     """Per-key last-writer-wins reduce by max LSN.
 
-    ``max_by`` over a struct = one aggregate with partial (map-side)
-    combine — the skew-resistant generalization of the reference's
-    first-wins ``putIfAbsent`` (``ColumnMetaTreeBuilder.java:52-77``).
-    Output: carry + keys + payload + _op + _lsn.
+    ``max_by`` over a struct = one aggregate (SortAggregate — struct
+    buffers are sort-based, still no window rank) generalizing the
+    reference's first-wins ``putIfAbsent``
+    (``ColumnMetaTreeBuilder.java:52-77``). When the caller does NOT
+    pre-partition the input, Catalyst plans the partial aggregate on
+    the map side — the hot-key-storm absorber ``merge_into`` engages
+    via ``combine_first``. Output: carry + keys + payload + _op + _lsn.
 
     ``carry_cols`` are key-functional columns (e.g. the bucket id)
     added to the groupBy so an existing partitioning on them satisfies
@@ -197,6 +203,7 @@ def merge_into(
     post_reduce_transform=None,
     update_policy: str = "row",
     matched_only: bool = False,
+    combine_first: bool | None = None,
 ) -> MergeResult:
     """Apply one change batch with exactly-once semantics.
 
@@ -227,6 +234,21 @@ def merge_into(
     touched — unmatched source rows are dropped, never inserted (the
     reference's update-only endpoints return 404 instead of creating).
     Also forces COW (needs the target key set at write time).
+
+    ``combine_first`` picks the reduce's shuffle shape; ``None`` (auto)
+    = True iff salting is engaged:
+
+    * False — ONE shuffle: repartition raw events on ``_bucket``, the
+      (bucket, keys) aggregate runs exchange-free, the write reuses the
+      partitioning. Cheapest when keys are well-spread (the common
+      case), but a hot-KEY event storm lands whole on one reduce task
+      (max_by lowers to SortAggregate — struct buffers are sort-based —
+      and an explicit repartition leaves no map-side combine).
+    * True — partial-aggregate FIRST on the input partitions (a storm
+      of duplicates for one key collapses map-side to one row per input
+      partition), then Catalyst's (bucket, keys) exchange carries only
+      winners, and the write repartitions winners onto (bucket, salt).
+      Two shuffles, but both skew-proof and the second is winner-sized.
     """
     if batch_id in table.applied_batch_ids():
         return MergeResult(table.current(), {"batch_id": batch_id, "skipped_duplicate_batch": True})
@@ -264,14 +286,21 @@ def merge_into(
         F.max(LSN_COL).alias("max_lsn"),
     )
 
-    # Single-shuffle plan: repartition once on the bucket id, then group
-    # by (_bucket, keys) — HashPartitioning(_bucket) satisfies the
-    # aggregate's ClusteredDistribution(_bucket, keys), so the LWW reduce
-    # runs exchange-free, and the per-bucket write reuses the same
-    # partitioning. (With salting the write adds its own shuffle.)
+    if combine_first is None:
+        combine_first = bool(salt_partitions)
+
+    # Single-shuffle plan (combine_first=False): repartition once on the
+    # bucket id, then group by (_bucket, keys) — HashPartitioning(_bucket)
+    # satisfies the aggregate's ClusteredDistribution(_bucket, keys), so
+    # the LWW reduce runs exchange-free and the per-bucket write reuses
+    # the same partitioning. combine_first=True skips the explicit
+    # repartition so Catalyst plans a map-side partial aggregate before
+    # its own exchange (hot-key storm absorption; see docstring).
     bucketed = aligned.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count)
-    ).repartition(F.col(BUCKET_COL))
+    )
+    if not combine_first:
+        bucketed = bucketed.repartition(F.col(BUCKET_COL))
     if update_policy == "row":
         winners = lww_winners(bucketed, keys, payload, carry_cols=[BUCKET_COL])
     else:
@@ -296,7 +325,8 @@ def merge_into(
         )
     elif mode == "mor":
         appends, replaces, compacted = _mor_write(
-            table, snap, winners, keys, payload, salt, version, compact_threshold
+            table, snap, winners, keys, payload, salt, version, compact_threshold,
+            write_repartition=bool(salt) or combine_first,
         )
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
@@ -382,7 +412,10 @@ def _cow_write(
     return {}, replaces, changed
 
 
-def _mor_write(table, snap, winners, keys, payload, salt, version, threshold):
+def _mor_write(
+    table, snap, winners, keys, payload, salt, version, threshold,
+    write_repartition=False,
+):
     """Merge-on-read: ONE pass over the batch — winner rows (including
     'D' tombstones) stream straight into per-bucket delta files via the
     dynamic-partition writer; the touched-bucket set falls out of the
@@ -392,7 +425,8 @@ def _mor_write(table, snap, winners, keys, payload, salt, version, threshold):
 
     Returns (appends, replaces, compacted_bucket_ids)."""
     appends = table.write_data_files(
-        winners, version, write_partitions=salt, subdir="delta", repartition=bool(salt)
+        winners, version, write_partitions=salt, subdir="delta",
+        repartition=write_repartition,
     )
 
     to_compact = [

@@ -70,6 +70,31 @@ def test_lww_reduce_is_single_shuffle(spark):
     assert_exchange_count(w, 1)
 
 
+def test_combine_first_partial_agg_before_exchange(spark):
+    """The skew-mode reduce (no explicit repartition) must plan a
+    map-side partial aggregate BELOW the exchange — that's what absorbs
+    a hot-key duplicate storm before any bytes move."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners
+    from picsure_dictionary_etl_spark.lake.table import bucket_expr
+
+    df = spark.range(1000).select(
+        F.col("id").alias("_lsn"),
+        F.lit("U").alias("_op"),
+        (F.col("id") % 50).cast("string").alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("role"),
+    ).withColumn("_bucket", bucket_expr(["conv_id"], 8))  # NO repartition
+    w = lww_winners(df, ["conv_id", "turn_idx"], ["text", "role"], carry_cols=["_bucket"])
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exchange_at = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    # toString prints children after parents: an Aggregate below the
+    # exchange line = partial aggregation on the map side
+    assert any("Aggregate" in l for l in lines[exchange_at + 1 :]), plan
+    assert sum(1 for l in lines if "Exchange" in l and "Reused" not in l) == 1
+
+
 def test_fieldwise_reduce_is_single_shuffle(spark):
     """The partial-update (D6/D7) reduce keeps the same one-exchange
     property — per-column max_by aggregates add no shuffle."""
