@@ -65,11 +65,11 @@ def test_query_matches_oracle(name, spark, ddb):
         assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """The driver downgrades un-oracled queries to a weak rows-only
+    check; the contract here is that NONE exist — every entry gets the
+    full rows+schema+hash comparison."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
