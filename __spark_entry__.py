@@ -114,6 +114,61 @@ FROM w WHERE op <> 'D'
 """
 
 
+def q_conversation_reassembly(spark, sf_dir):
+    """The north-rule equality check AS a query: apply the WAL (LWW +
+    deletes), then reassemble each conversation under stable turn
+    ordering into one per-conversation digest — md5 over
+    'turn_idx:value' pairs joined in turn order. Two engines agreeing
+    on every digest IS per-turn text equality under stable ordering."""
+    cdc = _events_as_cdc(spark, sf_dir)
+    w = flatten.last_writer_wins(
+        cdc, ["user_id", "turn_idx"], "lsn", ["op", "value"]
+    ).filter(F.col("op") != "D")
+    rendered = F.concat(
+        F.col("turn_idx").cast("string"),
+        F.lit(":"),
+        F.when(F.col("value").isNull(), F.lit("null")).otherwise(
+            F.format_string("%.2f", F.col("value"))
+        ),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), rendered.alias("r")))),
+                        lambda x: x["r"],
+                    ),
+                    "|",
+                )
+            ).alias("turns_digest"),
+        )
+    )
+
+
+SQL_CONVERSATION_REASSEMBLY = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM events
+), w AS (
+  SELECT user_id, turn_idx, arg_max(op, lsn) AS op, arg_max(value, lsn) AS value
+  FROM ev GROUP BY user_id, turn_idx
+)
+SELECT user_id, count(*) AS n_turns,
+       md5(string_agg(
+             turn_idx || ':' ||
+             CASE WHEN value IS NULL THEN 'null' ELSE printf('%.2f', value) END,
+             '|' ORDER BY turn_idx)) AS turns_digest
+FROM w WHERE op <> 'D'
+GROUP BY user_id
+"""
+
+
 def q_cdc_dead_letter(spark, sf_dir):
     """A2/A12: per-type counts of rows failing a validity predicate —
     the dead-letter split."""
@@ -1263,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_apply_final_state": q_cdc_apply_final_state,
+        "conversation_reassembly": q_conversation_reassembly,
         "cdc_dead_letter": q_cdc_dead_letter,
         "cdc_watermark_slice": q_cdc_watermark_slice,
         "partial_update_coalesce": q_partial_update_coalesce,
@@ -1315,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_latest": SQL_CDC_LWW_LATEST,
         "cdc_apply_final_state": SQL_CDC_APPLY_FINAL_STATE,
+        "conversation_reassembly": SQL_CONVERSATION_REASSEMBLY,
         "cdc_dead_letter": SQL_CDC_DEAD_LETTER,
         "cdc_watermark_slice": SQL_CDC_WATERMARK_SLICE,
         "partial_update_coalesce": SQL_PARTIAL_UPDATE_COALESCE,
