@@ -66,6 +66,13 @@ class RunnerConfig:
     auto_salt_factor: float = 4.0
     auto_salt_partitions: int = 4
     auto_salt_min_rows: int = 10_000
+    # Disk hygiene for long replays: every N commits, delete data files
+    # no retained snapshot references (compaction supersedes delta
+    # files; without GC a 10^10-event replay leaks the whole history).
+    # None disables. Safe under the single-writer discipline; retained
+    # snapshot count = vacuum_keep_snapshots (time-travel horizon).
+    vacuum_every: int | None = None
+    vacuum_keep_snapshots: int = 2
     normalize: bool = True
     extra_fields: list[T.StructField] = field(default_factory=list)
 
@@ -162,6 +169,14 @@ class CdcRunner:
             post_reduce_transform=normalize_events if self.config.normalize else None,
         )
         self._maybe_adapt_salt(result.metrics)
+        if (
+            self.config.vacuum_every
+            and not result.metrics.get("skipped_duplicate_batch")
+            and result.snapshot.version % self.config.vacuum_every == 0
+        ):
+            result.metrics["vacuum"] = self.table.vacuum(
+                keep_snapshots=self.config.vacuum_keep_snapshots
+            )
         if dead_obs is not None and not result.metrics.get("skipped_duplicate_batch"):
             try:
                 result.metrics["dead_letter_rows"] = int(dead_obs.get["dead_rows"] or 0)

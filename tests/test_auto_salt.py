@@ -76,3 +76,44 @@ def test_auto_salt_stays_off_without_skew(spark, tmp_path):
     runner.replay(events, lsn_step=3000)
     lines = [json.loads(l) for l in open(lineage)]
     assert all(not l["salt_partitions"] for l in lines)
+
+
+def test_auto_vacuum_bounds_disk(spark, tmp_path):
+    """vacuum_every GC's superseded files mid-replay; state unaffected."""
+    import os
+
+    events = change_events(spark, 4000, n_convs=20, turns_per_conv=20, update_ratio=0.6)
+    root = str(tmp_path / "t")
+    runner = CdcRunner(
+        spark,
+        RunnerConfig(
+            table_root=root,
+            lineage_path=str(tmp_path / "lineage.jsonl"),
+            bucket_count=4,
+            compact_threshold=1,  # compact constantly -> superseded deltas
+            vacuum_every=2,
+            vacuum_keep_snapshots=2,
+        ),
+    )
+    runner.replay(events, lsn_step=500)
+
+    lines = [json.loads(l) for l in open(tmp_path / "lineage.jsonl")]
+    vacs = [l["vacuum"] for l in lines if "vacuum" in l]
+    assert vacs and any(v["files_removed"] > 0 for v in vacs)
+
+    # every file still on disk is referenced by a retained snapshot,
+    # and the live state is intact
+    snap = runner.table.current()
+    referenced = set(snap.all_files())
+    for prev in range(max(0, snap.version - 1), snap.version):
+        referenced |= set(runner.table.snapshot(prev).all_files())
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk <= referenced | set()  # no unreferenced leftovers beyond horizon
+    assert set(snap.all_files()) <= on_disk  # nothing referenced is missing
+    assert runner.state().count() > 0
+    assert runner.watermark() == 3999
