@@ -1249,7 +1249,11 @@ SQL_MULTIMODAL_FEATURES = """
 WITH m AS (
   SELECT doc_id AS media_id, 'image' AS kind,
          CAST(strlen(text) AS INT) AS n_bytes,
-         CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS first_byte
+         -- first UTF-8 BYTE (hex slice of the encoded blob), not the
+         -- first character's codepoint: byte-exact with the Spark
+         -- side's payload[0] for non-ASCII-leading documents
+         CASE WHEN strlen(text) = 0 THEN 0
+              ELSE ('0x' || substring(hex(encode(text)), 1, 2))::INT END AS first_byte
   FROM documents
 )
 SELECT media_id, kind, n_bytes,
@@ -1300,7 +1304,8 @@ def q_multimodal_frame_sample(spark, sf_dir):
 SQL_MULTIMODAL_FRAME_SAMPLE = f"""
 WITH m AS ({_SQL_MEDIA_DIMS})
 SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS frame_ts_ms
-FROM m, LATERAL unnest(generate_series(0, CAST(floor(duration_ms / 1000) AS INT))) AS t(i)
+FROM m, LATERAL unnest(generate_series(
+  0, greatest(CAST(ceil(duration_ms / 1000.0) AS INT) - 1, 0))) AS t(i)
 """
 
 

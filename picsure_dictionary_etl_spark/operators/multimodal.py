@@ -153,16 +153,26 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
     a real ffmpeg frame extractor produces, expressed as a codegen'd
     ``sequence``+``explode`` (the frame DECODE itself would join in a
     ``mapInPandas`` stage like :func:`extract_features`; no Python is
-    needed for the sampling grid itself)."""
+    needed for the sampling grid itself).
+
+    Frames land strictly inside ``[0, duration_ms)`` — ceil semantics,
+    so an exact-multiple duration does NOT emit a frame at/after clip
+    end — with one frame at t=0 always (zero/null durations included).
+    ``fps`` above 1000 would make the integer step 0 (ANSI division
+    error downstream), so it's rejected up front."""
     step_ms = int(1000 / fps)
-    n = F.greatest(
-        (F.coalesce(F.col("duration_ms"), F.lit(0)) / step_ms).cast("int"), F.lit(0)
+    if step_ms <= 0:
+        raise ValueError(f"fps={fps} yields a sub-millisecond step; fps must be <= 1000")
+    last = F.greatest(
+        F.ceil(F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(step_ms)).cast("int")
+        - F.lit(1),
+        F.lit(0),
     )
     return (
         media.filter(F.col("kind") == "video")
         .select(
             "media_id",
-            F.posexplode(F.sequence(F.lit(0), n)).alias("frame_idx", "_i"),
+            F.posexplode(F.sequence(F.lit(0), last)).alias("frame_idx", "_i"),
         )
         .select(
             "media_id",

@@ -61,7 +61,10 @@ def discover_months(
         .when(embedded != "", embedded.cast("int"))
     )
     rows = (
-        concepts.filter(F.element_at(segs, 1) == study_id)
+        # try_element_at: ANSI mode makes element_at raise on an empty
+        # segment array (blank/all-backslash paths); null just fails the
+        # study filter, matching the try_element_at usage above
+        concepts.filter(F.try_element_at(segs, F.lit(1)) == study_id)
         # skip paths ending in RECOVER_Adult itself (the scope node)
         .filter(~F.col(path_col).rlike(r"(?i)RECOVER_Adult$"))
         .select(month.alias("m"))

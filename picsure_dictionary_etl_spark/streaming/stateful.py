@@ -45,13 +45,19 @@ def dedup_stream_by_lsn(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = state.get[0] if state.exists else -1
+        # Filter every chunk against the PRIOR-batch watermark only —
+        # later Arrow chunks of the same micro-batch must not be thinned
+        # against earlier chunks' max (a lower-LSN event specifying a
+        # different field matters under field-wise merge policies); the
+        # new max is tracked separately and committed after the loop.
+        prior = state.get[0] if state.exists else -1
+        new_max = prior
         for pdf in pdfs:
-            keep = pdf[pdf[lsn_col] > seen]
+            keep = pdf[pdf[lsn_col] > prior]
             if len(keep):
-                seen = max(seen, int(keep[lsn_col].max()))
+                new_max = max(new_max, int(keep[lsn_col].max()))
                 yield keep
-        state.update((seen,))
+        state.update((new_max,))
 
     return events_stream.groupBy(*key_cols).applyInPandasWithState(
         fn,

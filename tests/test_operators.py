@@ -72,6 +72,54 @@ def test_lsh_bucket_recall_of_identical(spark):
     assert top["cosine_sim"] <= 1.0
 
 
+def test_sample_frames_grid_semantics(spark):
+    import pytest
+
+    media = spark.createDataFrame(
+        [(1, "video", 5000), (2, "video", 5500), (3, "video", 0), (4, "image", 9000)],
+        ["media_id", "kind", "duration_ms"],
+    )
+    rows = multimodal.sample_frames(media, fps=1.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    # exact-multiple duration: frames strictly inside [0, duration) — no
+    # frame at t == 5000
+    assert sorted(by_id[1]) == [0, 1000, 2000, 3000, 4000]
+    assert sorted(by_id[2]) == [0, 1000, 2000, 3000, 4000, 5000]
+    assert by_id[3] == [0]  # zero duration still yields the t=0 frame
+    assert 4 not in by_id  # non-video filtered
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(media, fps=2000)  # sub-ms step rejected
+
+
+def test_multimodal_feature_oracle_byte_exact_non_ascii(spark):
+    """The DuckDB oracle must derive first_byte from the UTF-8 BYTES
+    (0xC3 for 'é'), not the codepoint (0xE9) — byte-exact parity for
+    non-ASCII-leading documents (ADVICE r2)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(1, "étoile"), (2, "ascii"), (3, "")], ["doc_id", "text"]
+    )
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, dim=16)
+    got = {
+        r["media_id"]: (r["n_bytes"], round(float(r["feature"][0]), 4))
+        for r in feats.collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        r[0]: (r[2], round(float(r[3]), 4))
+        for r in con.execute(entry.SQL_MULTIMODAL_FEATURES).fetchall()
+    }
+    assert got == want
+    assert got[1][0] == len("étoile".encode()) == 7  # bytes, not chars
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "")], ["doc_id", "text"]
