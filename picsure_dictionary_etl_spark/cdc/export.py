@@ -39,10 +39,22 @@ def export_state(runner: CdcRunner, out_dir: str, fmt: str = "csv") -> None:
 
 
 def import_as_change_stream(
-    spark: SparkSession, export_dir: str, fmt: str = "csv", start_lsn: int = 0
+    spark: SparkSession, export_dir: str, fmt: str = "csv",
+    start_lsn: int = 0, lsn_range: int = 2**31,
 ) -> DataFrame:
     """Exported rows -> insert-only change events with fresh synthetic
-    LSNs (ordering is irrelevant for pure inserts on distinct keys)."""
+    LSNs.
+
+    An exported snapshot has exactly one row per key, so the LSNs need
+    only (a) exceed ``start_lsn`` (clear the target's watermark) and
+    (b) be constant per key — NOT globally unique or dense: the LWW
+    reduce compares LSNs within a key, and distinct keys never meet.
+    ``xxhash64(key) % lsn_range`` satisfies both with zero shuffle —
+    the previous global ``row_number`` forced every exported row
+    through ONE task (the classic single-partition sort scale-killer).
+    The re-ingested table's watermark lands at ~``start_lsn +
+    lsn_range``; callers continuing a live CDC stream afterwards must
+    issue LSNs above that (or shrink ``lsn_range``)."""
     if fmt == "csv":
         df = spark.read.option("header", True).csv(export_dir)
         if "turn_idx" in df.columns:
@@ -51,11 +63,8 @@ def import_as_change_stream(
             df = df.withColumn("ts", F.to_timestamp("ts"))
     else:
         df = spark.read.parquet(export_dir)
-    w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-            "conv_id", "turn_idx"
-        )
-    )
-    return df.withColumn(LSN_COL, (w + F.lit(start_lsn)).cast("long")).withColumn(
-        OP_COL, F.lit("I")
-    )
+    lsn = (
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(int(lsn_range)))
+        + F.lit(int(start_lsn) + 1)
+    ).cast("long")
+    return df.withColumn(LSN_COL, lsn).withColumn(OP_COL, F.lit("I"))

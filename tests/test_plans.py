@@ -95,6 +95,26 @@ def test_combine_first_partial_agg_before_exchange(spark):
     assert sum(1 for l in lines if "Exchange" in l and "Reused" not in l) == 1
 
 
+def test_reingest_has_no_single_partition_exchange(spark, tmp_path):
+    """The export re-ingest derives synthetic LSNs from a key hash —
+    there must be NO Exchange SinglePartition (the global row_number
+    sort it replaced) anywhere in the plan."""
+    from picsure_dictionary_etl_spark.cdc.export import import_as_change_stream
+
+    p = str(tmp_path / "exp")
+    spark.range(100).select(
+        F.col("id").cast("string").alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.lit("t").alias("text"),
+    ).write.parquet(p)
+    stream = import_as_change_stream(spark, p, fmt="parquet")
+    plan = stream._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # LSNs must clear start_lsn and be constant per key
+    rows = stream.select("_lsn").collect()
+    assert all(r["_lsn"] > 0 for r in rows)
+
+
 def test_fieldwise_reduce_is_single_shuffle(spark):
     """The partial-update (D6/D7) reduce keeps the same one-exchange
     property — per-column max_by aggregates add no shuffle."""
