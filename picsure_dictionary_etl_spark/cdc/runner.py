@@ -32,10 +32,14 @@ from picsure_dictionary_etl_spark.cdc.envelope import (
     transcript_table_schema,
 )
 from picsure_dictionary_etl_spark.cdc.normalize import normalize_events, split_dead_letter
-from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL, MergeResult, merge_into
+from picsure_dictionary_etl_spark.lake.merge import (
+    LSN_COL,
+    OP_COL,
+    SYSTEM_COLS,
+    MergeResult,
+    merge_into,
+)
 from picsure_dictionary_etl_spark.lake.table import LakeTable
-
-SYSTEM_COLS = {LSN_COL, OP_COL}
 
 
 @dataclass
@@ -226,15 +230,24 @@ class CdcRunner:
         """Current live table (payload columns, no system columns).
 
         Merge-on-read resolution: LWW across base+delta files, tombstones
-        dropped — idempotent on copy-on-write/compacted data."""
+        dropped — idempotent on copy-on-write/compacted data. Tables
+        holding field-wise (``_pu``-tagged) deltas resolve with the
+        mixed field-wise reduce under the committed ``update_policy``."""
         snap = self.table.current()
         keys = snap.key_cols
-        payload = [
-            f.name for f in snap.schema.fields if f.name not in {*keys, LSN_COL, OP_COL}
-        ]
-        from picsure_dictionary_etl_spark.lake.merge import resolve_live
+        from picsure_dictionary_etl_spark.lake.merge import (
+            _payload_cols,
+            _read_raw,
+            resolve_live,
+        )
 
-        return resolve_live(self.table.read(), keys, payload).select(*keys, *payload)
+        payload = _payload_cols(snap)
+        raw = _read_raw(self.table, snap, keys, payload, rel_files=snap.all_files())
+        live = resolve_live(
+            raw, keys, payload,
+            policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+        )
+        return live.select(*keys, *payload)
 
     # ---------- internals ----------
 

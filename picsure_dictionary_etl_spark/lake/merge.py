@@ -70,10 +70,22 @@ class MergeResult:
     metrics: dict[str, Any]
 
 
+DEL_LSN_COL = "_del_lsn"
+PU_COL = "_pu"  # marks a row as a partial-update (field-wise) delta
+SYSTEM_COLS = {LSN_COL, OP_COL, DEL_LSN_COL, PU_COL}
+
+
 def _payload_cols(snap: Snapshot) -> list[str]:
     """Table columns that aren't key or system columns."""
-    system = {LSN_COL, OP_COL, *snap.key_cols}
+    system = {*SYSTEM_COLS, *snap.key_cols}
     return [f.name for f in snap.schema.fields if f.name not in system]
+
+
+def _system_extras(snap: Snapshot) -> list[str]:
+    """System columns beyond (_op, _lsn) present in this table's schema —
+    non-empty only for tables that received field-wise MOR deltas."""
+    names = {f.name for f in snap.schema.fields}
+    return [c for c in (DEL_LSN_COL, PU_COL) if c in names]
 
 
 def lww_winners(
@@ -104,13 +116,31 @@ def lww_winners(
                       F.col(f"_w.{OP_COL}").alias(OP_COL), LSN_COL)
 
 
-def resolve_live(df: DataFrame, key_cols: list[str], payload_cols: list[str]) -> DataFrame:
+def resolve_live(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    policy: str = "row",
+    schema=None,
+) -> DataFrame:
     """Merge-on-read resolution: LWW across base+delta rows, tombstones
-    dropped. Idempotent on already-resolved (cow/compacted) data."""
+    dropped. Idempotent on already-resolved (cow/compacted) data.
+
+    Dispatch: if the rows carry the ``_pu`` marker column the table has
+    (or had) field-wise deltas, and resolution runs the MIXED field-wise
+    reduce — full rows (``_pu`` null/false: compacted bases, row-policy
+    deltas) specify *every* field at their LSN, nulls included, while
+    partial rows contribute only the fields they specified. One
+    aggregate, still map-side combinable; ``policy`` selects the
+    blank-vs-null specification rule for the partial rows."""
+    if PU_COL in df.columns:
+        out = lww_winners_fieldwise(
+            df, key_cols, payload_cols,
+            policy=(policy if policy != "row" else "coalesce"),
+            schema=schema, full_row_col=PU_COL,
+        )
+        return out.filter(F.col(OP_COL) != OP_DELETE).drop(DEL_LSN_COL)
     return lww_winners(df, key_cols, payload_cols).filter(F.col(OP_COL) != OP_DELETE)
-
-
-DEL_LSN_COL = "_del_lsn"
 
 
 def _specified(c: F.Column, dtype, policy: str) -> F.Column:
@@ -132,6 +162,7 @@ def lww_winners_fieldwise(
     carry_cols: list[str] | None = None,
     policy: str = "coalesce",
     schema=None,
+    full_row_col: str | None = None,
 ) -> DataFrame:
     """Per-key FIELD-WISE last-specified-writer-wins reduce — the partial
     -update (D6/D7) generalization of :func:`lww_winners`.
@@ -149,6 +180,14 @@ def lww_winners_fieldwise(
     max. Output carries ``_del_lsn`` so a second reduce over
     union(target, winners) keeps respecting the boundary.
 
+    ``full_row_col`` names a boolean column marking rows as partial
+    (true) vs FULL (null/false — compacted bases, row-policy deltas,
+    COW targets). Full rows specify *every* field at their LSN — nulls
+    included — so a committed null can never be resurrected by an older
+    version's non-null value, and mixed row-policy/field-wise histories
+    resolve correctly in ONE aggregate (the MOR field-wise read path
+    and the COW re-reduce both use this).
+
     Reference parity: selective-field upsert D7
     (``consent/ConsentController.java:170-189`` — ``Optional.ifPresent``
     setters) and blank-preserving upsert D6
@@ -156,14 +195,20 @@ def lww_winners_fieldwise(
     """
     carry = carry_cols or []
     has_del_in = DEL_LSN_COL in source.columns
+    is_full = (
+        ~F.coalesce(F.col(full_row_col), F.lit(False)) if full_row_col else None
+    )
     aggs = []
     for c in payload_cols:
         dtype = schema[c].dataType if schema is not None else None
         spec = _specified(F.col(c), dtype, policy)
+        order = F.when(spec, F.col(LSN_COL))
+        if is_full is not None:
+            order = F.when(is_full, F.col(LSN_COL)).otherwise(order)
         aggs.append(
             F.max_by(
                 F.struct(F.col(LSN_COL).alias("l"), F.col(c).alias("v")),
-                F.when(spec, F.col(LSN_COL)),
+                order,
             ).alias(f"_w_{c}")
         )
     del_in = (
@@ -224,16 +269,24 @@ def merge_into(
       whitespace) string fields also preserve the target
       (``facet/FacetLoaderService.java:168-174`` ``defaultIfBlank``).
 
-    Non-row policies force copy-on-write: partial updates must resolve
-    against the target row at write time (they're the dictionary-style
-    *batch load* path, where COW is the right physical strategy anyway);
-    note they cannot express "set field to null" — inherent to the
+    Non-row policies run in EITHER physical mode. Under ``mor`` the
+    field-wise winner rows append as per-bucket deltas tagged
+    ``_pu=true`` and carrying ``_del_lsn`` (the table schema evolves
+    once, additively, to hold both system columns) — O(batch) writes,
+    the sustained-throughput shape for a 10^10-event partial-update
+    stream; reads and compaction resolve with the MIXED field-wise
+    reduce (see :func:`lww_winners_fieldwise`). Under ``cow`` the
+    touched buckets re-reduce field-wise at write time. Either way the
+    policy cannot express "set field to null" — inherent to the
     semantics, same as the reference's ``Optional``-guarded setters.
+    The latest non-row policy is recorded as the table property
+    ``update_policy`` and governs read-time resolution.
 
-    ``matched_only`` (D11): only keys already present in the target are
-    touched — unmatched source rows are dropped, never inserted (the
-    reference's update-only endpoints return 404 instead of creating).
-    Also forces COW (needs the target key set at write time).
+    ``matched_only`` (D11): only keys LIVE in the target are touched —
+    unmatched (or deleted) source keys are dropped, never inserted or
+    resurrected (the reference's update-only endpoints return 404
+    instead of creating). Forces COW (needs the target key set at
+    write time).
 
     ``combine_first`` picks the reduce's shuffle shape; ``None`` (auto)
     = True iff salting is engaged:
@@ -255,12 +308,34 @@ def merge_into(
 
     if update_policy not in ("row", "coalesce", "blank_preserve"):
         raise ValueError(f"unknown update_policy {update_policy!r}")
-    if update_policy != "row" or matched_only:
+    if matched_only:
         mode = "cow"
 
     snap = table.current()
+    if update_policy != "row" and mode == "mor":
+        # field-wise deltas persist the delete boundary and the partial
+        # marker; additive, metadata-only, idempotent
+        from pyspark.sql import types as T
+
+        snap_cols = {f.name for f in snap.schema.fields}
+        need = [
+            f
+            for f in (
+                T.StructField(DEL_LSN_COL, T.LongType(), True),
+                T.StructField(PU_COL, T.BooleanType(), True),
+            )
+            if f.name not in snap_cols
+        ]
+        if need:
+            snap = table.evolve_schema(need)
     keys = snap.key_cols
     payload = _payload_cols(snap)
+    # read-time resolution policy: the latest non-row policy sticks
+    resolve_policy = (
+        update_policy
+        if update_policy != "row"
+        else snap.properties.get("update_policy", "row")
+    )
 
     src_cols = set(source.columns)
     aligned = source.select(
@@ -307,7 +382,7 @@ def merge_into(
         winners = lww_winners_fieldwise(
             bucketed, keys, payload, carry_cols=[BUCKET_COL],
             policy=update_policy, schema=snap.schema,
-        )
+        ).withColumn(PU_COL, F.lit(True))
 
     if post_reduce_transform is not None:
         # Normalization is per-row pure and key/LSN-preserving, so it
@@ -322,11 +397,13 @@ def merge_into(
         appends, replaces, compacted = _cow_write(
             table, snap, winners, keys, payload, salt, version,
             update_policy=update_policy, matched_only=matched_only,
+            resolve_policy=resolve_policy,
         )
     elif mode == "mor":
         appends, replaces, compacted = _mor_write(
             table, snap, winners, keys, payload, salt, version, compact_threshold,
             write_repartition=bool(salt) or combine_first,
+            resolve_policy=resolve_policy,
         )
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
@@ -338,6 +415,9 @@ def merge_into(
         )
         snap2 = table.commit({}, {}, props, {"batch_id": batch_id, "empty_batch": True})
         return MergeResult(snap2, {"batch_id": batch_id, "rows_in": 0})
+
+    if update_policy != "row":
+        extra_lineage = {**(extra_lineage or {}), "update_policy": update_policy}
 
     m = {k: (int(v) if v is not None else None) for k, v in obs.get.items()}
     written = {**appends, **replaces}
@@ -363,13 +443,30 @@ def merge_into(
     else:
         wm = table.watermark()
     props = table.exactly_once_props(batch_id, wm)
+    if update_policy != "row":
+        props["update_policy"] = update_policy
     snap2 = table.commit(appends, replaces, props, metrics)
     return MergeResult(snap2, metrics)
 
 
+def _read_raw(table, snap, keys, payload, rel_files=None, bucket_ids=None):
+    """Raw (unresolved) table rows with every system column the schema
+    carries — ``_del_lsn``/``_pu`` null-fill on pre-evolution files."""
+    extras = _system_extras(snap)
+    df = (
+        table._read_files(snap, rel_files)
+        if rel_files is not None
+        else table.read_buckets(bucket_ids, snap)
+    )
+    return df.select(
+        *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long"),
+        *[F.col(c) for c in extras],
+    )
+
+
 def _cow_write(
     table, snap, winners, keys, payload, salt, version,
-    update_policy="row", matched_only=False,
+    update_policy="row", matched_only=False, resolve_policy="row",
 ):
     """Copy-on-write: union touched buckets with winners, re-reduce,
     rewrite those buckets.
@@ -379,33 +476,50 @@ def _cow_write(
     winners, collect the distinct bucket set (≤ bucket_count rows), then
     rewrite. Returns ({}, replaces, changed).
 
-    Non-row ``update_policy`` re-reduces field-wise so winner fields that
-    are unspecified fall back to the target row's committed values;
-    ``matched_only`` semi-joins winners against the target key set (the
-    read is already bucket-pruned) so unmatched rows never insert."""
+    The re-reduce is the MIXED field-wise reduce whenever this batch is
+    partial OR the target carries field-wise history (``_pu`` in
+    schema): target rows enter as FULL rows — raw MOR versions of a key
+    row-resolve among themselves by LSN, so a field a newer row-policy
+    update set to null can never be resurrected by an older version's
+    value. ``matched_only`` semi-joins winners against the target's
+    LIVE key set, so deleted keys are not resurrected and unmatched
+    rows never insert."""
     winners = winners.persist()
     changed = sorted(r[0] for r in winners.select(BUCKET_COL).distinct().collect())
     if not changed:
         winners.unpersist()
         return {}, {}, []
-    target = table.read_buckets(changed, snap).select(
-        *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
-    )
+    target = _read_raw(table, snap, keys, payload, bucket_ids=changed)
     src = winners.drop(BUCKET_COL)
     if matched_only:
-        src = src.join(target.select(*keys).distinct(), keys, "left_semi")
-    if update_policy == "row":
+        live_keys = resolve_live(
+            target, keys, payload, policy=resolve_policy, schema=snap.schema
+        ).select(*keys)
+        src = src.join(live_keys, keys, "left_semi")
+    fieldwise = update_policy != "row" or PU_COL in target.columns
+    if fieldwise:
+        # align both sides on the full system-column set
+        for c, dtype in ((DEL_LSN_COL, "long"), (PU_COL, "boolean")):
+            if c not in target.columns:
+                target = target.withColumn(c, F.lit(None).cast(dtype))
+            if c not in src.columns:
+                src = src.withColumn(
+                    c,
+                    F.lit(update_policy != "row" if c == PU_COL else None).cast(dtype),
+                )
         combined = target.unionByName(src)
-        live = resolve_live(combined, keys, payload)
-    else:
-        combined = target.withColumn(DEL_LSN_COL, F.lit(None).cast("long")).unionByName(src)
         live = (
             lww_winners_fieldwise(
-                combined, keys, payload, policy=update_policy, schema=snap.schema
+                combined, keys, payload,
+                policy=(resolve_policy if resolve_policy != "row" else "coalesce"),
+                schema=snap.schema, full_row_col=PU_COL,
             )
             .filter(F.col(OP_COL) != OP_DELETE)
             .drop(DEL_LSN_COL)
         )
+    else:
+        combined = target.unionByName(src)
+        live = resolve_live(combined, keys, payload)
     live = live.withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
     replaces = table.write_data_files(live, version, write_partitions=salt)
     winners.unpersist()
@@ -414,14 +528,16 @@ def _cow_write(
 
 def _mor_write(
     table, snap, winners, keys, payload, salt, version, threshold,
-    write_repartition=False,
+    write_repartition=False, resolve_policy="row",
 ):
     """Merge-on-read: ONE pass over the batch — winner rows (including
-    'D' tombstones) stream straight into per-bucket delta files via the
-    dynamic-partition writer; the touched-bucket set falls out of the
-    write result (no pruning pre-pass, no cache). Buckets whose file
-    count then exceeds the threshold are compacted from the just-written
-    files in a second, amortized-rare job.
+    'D' tombstones, and ``_pu``-tagged field-wise partials) stream
+    straight into per-bucket delta files via the dynamic-partition
+    writer; the touched-bucket set falls out of the write result (no
+    pruning pre-pass, no cache). Buckets whose file count then exceeds
+    the threshold are compacted from the just-written files in a
+    second, amortized-rare job; compaction output is fully-resolved
+    FULL rows (the ``_pu``/``_del_lsn`` history collapses).
 
     Returns (appends, replaces, compacted_bucket_ids)."""
     appends = table.write_data_files(
@@ -437,11 +553,9 @@ def _mor_write(
         # existing snapshot files + the fresh deltas for those buckets
         rel_files = [f for b in to_compact for f in snap.files.get(str(b), [])]
         rel_files += [f for b in to_compact for f in appends[str(b)]]
-        base = table._read_files(snap, rel_files).select(
-            *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
-        )
+        base = _read_raw(table, snap, keys, payload, rel_files=rel_files)
         live = (
-            resolve_live(base, keys, payload)
+            resolve_live(base, keys, payload, policy=resolve_policy, schema=snap.schema)
             .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
         )
         replaces = table.write_data_files(live, version, write_partitions=salt, subdir="base")
@@ -469,10 +583,11 @@ def table_changes(
 
     def live(version: int) -> DataFrame:
         snap = table.snapshot(version)
-        df = table.read(snap).select(
-            *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long")
+        df = _read_raw(table, snap, keys, payload, rel_files=snap.all_files())
+        return resolve_live(
+            df, keys, payload,
+            policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
         )
-        return resolve_live(df, keys, payload)
 
     def hashed(df: DataFrame, side: str) -> DataFrame:
         h = F.md5(

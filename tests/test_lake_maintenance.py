@@ -209,3 +209,84 @@ def test_fieldwise_property_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_mixed_policy_mor_equals_cow_hypothesis(spark, tmp_path):
+    """Property: a stream of batches with MIXED update policies (row /
+    coalesce per batch) produces the identical final state under
+    mode='mor' (field-wise _pu deltas + compaction) and mode='cow'
+    (write-time re-reduce), both matching a sequential oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    event = st.tuples(
+        st.integers(0, 1),                                  # conv
+        st.integers(0, 1),                                  # turn
+        st.sampled_from(["I", "U", "U", "D"]),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),  # text
+        st.one_of(st.none(), st.sampled_from(["user", "tool"])),   # role
+    )
+    batch = st.tuples(st.sampled_from(["row", "coalesce"]),
+                      st.lists(event, min_size=1, max_size=6))
+
+    counter = [0]
+
+    @given(st.lists(batch, min_size=1, max_size=3))
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(batches):
+        counter[0] += 1
+        roots = {
+            m: str(tmp_path / f"mix-{counter[0]}-{m}") for m in ("mor", "cow")
+        }
+        tables = {
+            m: LakeTable.create(
+                spark, r, schema=transcript_table_schema(),
+                key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+            )
+            for m, r in roots.items()
+        }
+        state, lsn = {}, 0
+        for bi, (policy, seq) in enumerate(batches):
+            rows = []
+            for conv, turn, op, text, role in seq:
+                lsn += 1
+                rows.append((lsn, op, f"c{conv}", turn, role, text, None, None))
+                key = (f"c{conv}", turn)
+                if op == "D":
+                    state.pop(key, None)
+                elif policy == "row":
+                    state[key] = (text, role)
+                else:
+                    cur = state.get(key, (None, None))
+                    state[key] = (text if text is not None else cur[0],
+                                  role if role is not None else cur[1])
+            df = spark.createDataFrame(rows, change_event_schema())
+            for m, t in tables.items():
+                merge_into(t, df, f"b{bi}", mode=m, update_policy=policy,
+                           compact_threshold=2)
+        for m, t in tables.items():
+            snap = t.current()
+            from picsure_dictionary_etl_spark.lake.merge import _payload_cols, _read_raw
+
+            payload = _payload_cols(snap)
+            raw = _read_raw(t, snap, TRANSCRIPT_KEY, payload,
+                            rel_files=snap.all_files())
+            live = resolve_live(
+                raw, TRANSCRIPT_KEY, payload,
+                policy=snap.properties.get("update_policy", "row"),
+                schema=snap.schema,
+            )
+            got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+                   for r in live.collect()}
+            assert got == state, f"mode={m}: {got} != {state}"
+
+    check()

@@ -10,6 +10,8 @@ fields, 404 instead of insert) and
 
 import datetime
 
+import pytest
+
 from picsure_dictionary_etl_spark.cdc.envelope import (
     TRANSCRIPT_KEY,
     change_event_schema,
@@ -21,6 +23,10 @@ from picsure_dictionary_etl_spark.lake.table import LakeTable
 TS1 = datetime.datetime(2025, 1, 1, 12, 0, 0)
 TS2 = datetime.datetime(2025, 2, 2, 8, 30, 0)
 PAYLOAD = ["role", "text", "tool", "ts"]
+
+# every semantic test runs under BOTH physical strategies: cow re-reduces
+# at write time; mor appends _pu-tagged field-wise deltas resolved at read
+MODES = pytest.mark.parametrize("mode", ["cow", "mor"])
 
 
 def _table(spark, tmp_path):
@@ -60,7 +66,8 @@ def _seed(spark, table):
     merge_into(table, full, "seed")
 
 
-def test_coalesce_preserves_unspecified_fields(spark, tmp_path):
+@MODES
+def test_coalesce_preserves_unspecified_fields(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     partial = _events(
@@ -72,14 +79,15 @@ def test_coalesce_preserves_unspecified_fields(spark, tmp_path):
             (4, "U", "c2", 0, None, "orphan", None, None),
         ],
     )
-    merge_into(t, partial, "b2", update_policy="coalesce")
+    merge_into(t, partial, "b2", update_policy="coalesce", mode=mode)
     s = _state(t)
     assert s[("c1", 0)] == ("user", "hello-edited", None, TS1)
     assert s[("c1", 1)] == ("assistant", "hi", "search", TS1)
     assert s[("c2", 0)] == (None, "orphan", None, None)
 
 
-def test_blank_preserve_keeps_target_on_blank_strings(spark, tmp_path):
+@MODES
+def test_blank_preserve_keeps_target_on_blank_strings(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     partial = _events(
@@ -89,7 +97,7 @@ def test_blank_preserve_keeps_target_on_blank_strings(spark, tmp_path):
             (3, "U", "c1", 1, "", "   ", "calc", TS2),
         ],
     )
-    merge_into(t, partial, "b2", update_policy="blank_preserve")
+    merge_into(t, partial, "b2", update_policy="blank_preserve", mode=mode)
     s = _state(t)
     assert s[("c1", 1)] == ("assistant", "hi", "calc", TS2)
 
@@ -110,7 +118,8 @@ def test_matched_only_never_inserts(spark, tmp_path):
     assert ("c9", 9) not in s
 
 
-def test_delete_resets_fields_within_batch(spark, tmp_path):
+@MODES
+def test_delete_resets_fields_within_batch(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     batch = _events(
@@ -122,12 +131,13 @@ def test_delete_resets_fields_within_batch(spark, tmp_path):
             (11, "I", "c1", 0, None, "fresh", None, None),
         ],
     )
-    merge_into(t, batch, "b2", update_policy="coalesce")
+    merge_into(t, batch, "b2", update_policy="coalesce", mode=mode)
     s = _state(t)
     assert s[("c1", 0)] == (None, "fresh", None, None)
 
 
-def test_delete_across_batches_then_partial_insert(spark, tmp_path):
+@MODES
+def test_delete_across_batches_then_partial_insert(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     merge_into(t, _events(spark, [(10, "D", "c1", 0, None, None, None, None)]), "b2")
@@ -137,26 +147,29 @@ def test_delete_across_batches_then_partial_insert(spark, tmp_path):
         _events(spark, [(11, "I", "c1", 0, None, "reborn", None, None)]),
         "b3",
         update_policy="coalesce",
+        mode=mode,
     )
     s = _state(t)
     # the committed delete removed the row; the partial insert starts clean
     assert s[("c1", 0)] == (None, "reborn", None, None)
 
 
-def test_partial_batch_redelivery_is_noop(spark, tmp_path):
+@MODES
+def test_partial_batch_redelivery_is_noop(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     partial = _events(spark, [(3, "U", "c1", 0, None, "edited", None, None)])
-    merge_into(t, partial, "b2", update_policy="coalesce")
+    merge_into(t, partial, "b2", update_policy="coalesce", mode=mode)
     v1 = t.current().version
     s1 = _state(t)
-    r = merge_into(t, partial, "b2", update_policy="coalesce")
+    r = merge_into(t, partial, "b2", update_policy="coalesce", mode=mode)
     assert r.metrics.get("skipped_duplicate_batch")
     assert t.current().version == v1
     assert _state(t) == s1
 
 
-def test_multiple_partials_per_key_in_one_batch(spark, tmp_path):
+@MODES
+def test_multiple_partials_per_key_in_one_batch(spark, tmp_path, mode):
     t = _table(spark, tmp_path)
     _seed(spark, t)
     batch = _events(
@@ -167,10 +180,88 @@ def test_multiple_partials_per_key_in_one_batch(spark, tmp_path):
             (5, "U", "c1", 0, None, None, "web", None),
         ],
     )
-    merge_into(t, batch, "b2", update_policy="coalesce")
+    merge_into(t, batch, "b2", update_policy="coalesce", mode=mode)
     s = _state(t)
     # each field independently from its own latest specifier
     assert s[("c1", 0)] == ("admin", "v3", "web", TS1)
+
+
+def test_matched_only_does_not_resurrect_deleted_key(spark, tmp_path):
+    """A key whose latest committed state is a tombstone does NOT exist
+    for matched_only purposes — the reference 404s instead of creating."""
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    merge_into(t, _events(spark, [(10, "D", "c1", 0, None, None, None, None)]), "b2")
+    merge_into(
+        t,
+        _events(spark, [(11, "U", "c1", 0, None, "zombie", None, None)]),
+        "b3",
+        update_policy="coalesce",
+        matched_only=True,
+    )
+    assert ("c1", 0) not in _state(t)
+
+
+@MODES
+def test_row_null_out_not_resurrected_by_later_partial(spark, tmp_path, mode):
+    """ADVICE r2 (medium): a field a ROW-policy update set to null must
+    stay null when a later field-wise batch touches the same bucket —
+    raw MOR versions of a key must row-resolve among themselves, never
+    feed an older non-null into the field-wise union."""
+    t = _table(spark, tmp_path)
+    _seed(spark, t)  # (c1,0) has tool=None; (c1,1) has tool="search"
+    # ROW-policy full update nulls (c1,1).tool via MOR delta (uncompacted)
+    merge_into(
+        t,
+        _events(spark, [(5, "U", "c1", 1, "assistant", "hi", None, TS1)]),
+        "null-out",
+        mode="mor",
+    )
+    assert _state(t)[("c1", 1)] == ("assistant", "hi", None, TS1)
+    # later coalesce batch touches ANOTHER key in the same small table;
+    # every key in a touched bucket is re-reduced — (c1,1).tool must not
+    # resurrect to "search" from the pre-null-out version
+    merge_into(
+        t,
+        _events(spark, [(6, "U", "c1", 0, None, "edited", None, None)]),
+        "partial",
+        update_policy="coalesce",
+        mode=mode,
+    )
+    s = _state(t)
+    assert s[("c1", 1)] == ("assistant", "hi", None, TS1)
+    assert s[("c1", 0)] == ("user", "edited", None, TS1)
+
+
+def test_mor_fieldwise_writes_are_batch_sized_and_compaction_resolves(spark, tmp_path):
+    """The MOR field-wise path appends deltas (no bucket rewrite) until
+    the threshold, then compaction collapses the _pu history into full
+    rows — state identical before and after."""
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    expected = ("user", "hello", None, TS1)
+    for i, (lsn, field_updates) in enumerate(
+        [(10, (None, "e1", None, None)), (11, ("adm", None, None, None)),
+         (12, (None, None, "web", None)), (13, (None, "e4", None, TS2))]
+    ):
+        r = merge_into(
+            t,
+            _events(spark, [(lsn, "U", "c1", 0, *field_updates)]),
+            f"p{i}",
+            update_policy="coalesce",
+            mode="mor",
+            compact_threshold=3,
+        )
+        assert r.metrics["mode"] == "mor"
+    s = _state(t)
+    assert s[("c1", 0)] == ("adm", "e4", "web", TS2)
+    # at least one compaction ran (threshold 3, 4+ files in the hot bucket)
+    versions = t.current().version
+    assert versions >= 5
+    lineage = [t.snapshot(v).lineage for v in range(2, versions + 1)]
+    assert any(lg.get("buckets_compacted") for lg in lineage if lg), lineage
+    # unchanged second key resolved intact through the mixed reduce
+    assert s[("c1", 1)] == ("assistant", "hi", "search", TS1)
 
 
 def test_iceberg_merge_sql_rendering():
