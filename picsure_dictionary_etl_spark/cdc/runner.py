@@ -23,6 +23,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -79,6 +80,10 @@ class RunnerConfig:
     vacuum_keep_snapshots: int = 2
     normalize: bool = True
     extra_fields: list[T.StructField] = field(default_factory=list)
+    # Commit-point implementation for the table's snapshot metadata
+    # (None = local/shared-POSIX; inject an object-store/catalog client
+    # for deployments without a shared mount — see lake/metadata_io.py).
+    metadata_io: Any = None
 
 
 class CdcRunner:
@@ -88,8 +93,8 @@ class CdcRunner:
         # adaptive salting state (None = not engaged); manual
         # salt_partitions takes precedence when set
         self._auto_salt_active: int | None = None
-        if LakeTable.exists(config.table_root):
-            self.table = LakeTable.load(spark, config.table_root)
+        if LakeTable.exists(config.table_root, io=config.metadata_io):
+            self.table = LakeTable.load(spark, config.table_root, io=config.metadata_io)
         else:
             self.table = LakeTable.create(
                 spark,
@@ -98,6 +103,7 @@ class CdcRunner:
                 key_cols=TRANSCRIPT_KEY,
                 bucket_by=["conv_id"],
                 bucket_count=config.bucket_count,
+                io=config.metadata_io,
             )
 
     # ---------- public API ----------

@@ -12,12 +12,14 @@ Cluster usage (the deployment path the engine is designed for)::
         --lsn-step 100000000 --bucket-count 1024
 
 ``--events`` can be any Spark-readable URI (s3/hdfs/file). ``--table``
-must be a driver-accessible POSIX path (local disk or a shared mount
-such as NFS/EFS): the DATA files are written by executors through
-Spark, but snapshot metadata and commit bookkeeping use driver-local
-file IO (atomic rename) — an object-store table root would need that
-metadata layer swapped for an Iceberg/Hive catalog client, which is the
-documented integration seam in ``lake/table.py``, not yet implemented.
+names the table root: DATA files are written by executors through
+Spark, while snapshot metadata and commit bookkeeping go through the
+injectable ``MetadataIO`` commit point (``lake/metadata_io.py``). The
+default is POSIX (local disk or a shared NFS/EFS mount — atomic
+rename); an object-store root plugs in a catalog/conditional-PUT
+implementation via ``RunnerConfig(metadata_io=...)`` — the protocol is
+four small methods, exercised against a non-POSIX test double in
+``tests/test_metadata_io.py``.
 
 Local sandbox usage::
 

@@ -8,9 +8,13 @@ from scratch — and doubles as documentation of exactly what the engine
 needs from a table format:
 
 * **Atomic snapshot commits.** A commit writes immutable data files plus
-  one manifest JSON, then atomically swaps a VERSION pointer
-  (write-temp + ``os.rename``). Readers resolve VERSION -> manifest ->
-  file list; a torn commit is invisible.
+  one manifest JSON, then atomically swaps a VERSION pointer. Readers
+  resolve VERSION -> manifest -> file list; a torn commit is invisible.
+  All snapshot/pointer IO goes through an injectable
+  :class:`~.metadata_io.MetadataIO` (default: POSIX write-temp +
+  ``os.rename``; an object-store/catalog client implements the same
+  four-method protocol — the shared-commit-point seam, reference
+  analog ``application.properties:1-7``).
 * **Idempotent, exactly-once batch application.** Manifest ``properties``
   carry the CDC high-watermark (max applied LSN) and the set of applied
   batch ids, updated atomically with the data — the analog of the
@@ -36,13 +40,14 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from picsure_dictionary_etl_spark.lake.metadata_io import MetadataIO, PosixMetadataIO
 
 META_DIR = "_meta"
 VERSION_FILE = "VERSION"
@@ -115,9 +120,10 @@ def bucket_expr(bucket_by: list[str], bucket_count: int) -> F.Column:
 class LakeTable:
     """Handle to one snapshot-committed table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: MetadataIO | None = None):
         self.spark = spark
         self.root = os.path.abspath(root)
+        self.io = io or PosixMetadataIO()
 
     # ---------- creation / loading ----------
 
@@ -131,9 +137,10 @@ class LakeTable:
         bucket_by: list[str] | None = None,
         bucket_count: int = 16,
         properties: dict[str, Any] | None = None,
+        io: MetadataIO | None = None,
     ) -> "LakeTable":
-        t = cls(spark, root)
-        os.makedirs(os.path.join(t.root, META_DIR), exist_ok=True)
+        t = cls(spark, root, io=io)
+        t.io.makedirs(os.path.join(t.root, META_DIR))
         snap = Snapshot(
             version=0,
             parent=None,
@@ -148,42 +155,37 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        t = cls(spark, root)
+    def load(cls, spark: SparkSession, root: str, io: MetadataIO | None = None) -> "LakeTable":
+        t = cls(spark, root, io=io)
         t.current()  # raises if missing
         return t
 
     @staticmethod
-    def exists(root: str) -> bool:
-        return os.path.exists(os.path.join(os.path.abspath(root), META_DIR, VERSION_FILE))
+    def exists(root: str, io: MetadataIO | None = None) -> bool:
+        return (io or PosixMetadataIO()).exists(
+            os.path.join(os.path.abspath(root), META_DIR, VERSION_FILE)
+        )
 
-    # ---------- snapshot IO ----------
+    # ---------- snapshot IO (all through self.io, the commit point) ----------
 
     def current_version(self) -> int:
-        with open(os.path.join(self.root, META_DIR, VERSION_FILE)) as f:
-            return int(f.read().strip())
+        return int(
+            self.io.read_text(os.path.join(self.root, META_DIR, VERSION_FILE)).strip()
+        )
 
     def current(self) -> Snapshot:
         return self.snapshot(self.current_version())
 
     def snapshot(self, version: int) -> Snapshot:
         path = os.path.join(self.root, META_DIR, f"snap-{version:08d}.json")
-        with open(path) as f:
-            return Snapshot.from_json(f.read())
+        return Snapshot.from_json(self.io.read_text(path))
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         meta = os.path.join(self.root, META_DIR)
-        snap_path = os.path.join(meta, f"snap-{snap.version:08d}.json")
-        with open(snap_path, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = os.path.join(meta, f".{VERSION_FILE}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snap.version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(meta, VERSION_FILE))  # atomic pointer swap
+        self.io.write_atomic(
+            os.path.join(meta, f"snap-{snap.version:08d}.json"), snap.to_json()
+        )
+        self.io.swap_pointer(os.path.join(meta, VERSION_FILE), str(snap.version))
 
     # ---------- reads ----------
 
@@ -369,6 +371,9 @@ class LakeTable:
         for v in kept_versions:
             referenced.update(self.snapshot(v).all_files())
         removed = 0
+        # Data-file GC walks the data plane directly (Spark wrote these
+        # files; at a cluster deployment this walk is a Hadoop-FS /
+        # object-store LIST over the same prefix).
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for dirpath, _dirs, files in os.walk(data_root, topdown=False):
@@ -386,9 +391,9 @@ class LakeTable:
                 except OSError:
                     pass
         meta = os.path.join(self.root, META_DIR)
-        for fn in os.listdir(meta):
+        for fn in self.io.list(meta):
             if fn.startswith("snap-") and int(fn[5:13]) not in kept_versions:
-                os.remove(os.path.join(meta, fn))
+                self.io.remove(os.path.join(meta, fn))
         return {"files_removed": removed, "snapshots_kept": len(kept_versions)}
 
     # ---------- exactly-once bookkeeping ----------

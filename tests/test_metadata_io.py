@@ -1,0 +1,88 @@
+"""The MetadataIO commit-point seam: LakeTable runs create -> merge ->
+resume against a NON-POSIX metadata implementation (the object-store /
+catalog stand-in), with zero snapshot bytes on local disk."""
+
+import os
+
+from picsure_dictionary_etl_spark.cdc.envelope import (
+    TRANSCRIPT_KEY,
+    change_event_schema,
+    transcript_table_schema,
+)
+from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+from picsure_dictionary_etl_spark.lake.metadata_io import InMemoryMetadataIO
+from picsure_dictionary_etl_spark.lake.table import META_DIR, LakeTable
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, change_event_schema())
+
+
+def test_create_merge_resume_on_non_posix_commit_point(spark, tmp_path):
+    io = InMemoryMetadataIO()
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, root, schema=transcript_table_schema(), key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"], bucket_count=4, io=io,
+    )
+    merge_into(t, _events(spark, [
+        (1, "I", "c1", 0, "user", "hello", None, None),
+        (2, "I", "c2", 0, "user", "bye", None, None),
+    ]), "b1")
+    merge_into(t, _events(spark, [
+        (3, "U", "c1", 0, "user", "edited", None, None),
+        (4, "D", "c2", 0, None, None, None, None),
+    ]), "b2")
+
+    # every manifest + the VERSION pointer live ONLY in the store
+    assert not os.path.exists(os.path.join(root, META_DIR, "VERSION"))
+    assert io.swaps >= 3  # create + two commits went through the CAS seam
+    assert any(k.endswith("VERSION") for k in io.store)
+
+    # a FRESH handle sharing the same store (a second driver against the
+    # same catalog) resumes: watermark, applied batches, identical state
+    t2 = LakeTable.load(spark, root, io=InMemoryMetadataIO(io.store))
+    assert t2.watermark() == 4
+    assert {"b1", "b2"} <= t2.applied_batch_ids()
+    live = resolve_live(
+        t2.read(), TRANSCRIPT_KEY, ["role", "text", "tool", "ts"]
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in live.collect()}
+    assert got == {("c1", 0): "edited"}
+
+    # redelivery through the resumed handle is still a committed no-op
+    r = merge_into(t2, _events(
+        spark, [(3, "U", "c1", 0, "user", "edited", None, None)]), "b2")
+    assert r.metrics.get("skipped_duplicate_batch")
+
+
+def test_runner_on_non_posix_commit_point(spark, tmp_path):
+    io = InMemoryMetadataIO()
+    cfg = RunnerConfig(table_root=str(tmp_path / "rt"), bucket_count=4,
+                       metadata_io=io)
+    r1 = CdcRunner(spark, cfg)
+    r1.apply_batch(_events(spark, [
+        (1, "I", "c9", 0, "user", "hi", None, None)]), "b1")
+    # a second runner instance (fresh process analog) sees the commit
+    r2 = CdcRunner(spark, RunnerConfig(
+        table_root=cfg.table_root, bucket_count=4,
+        metadata_io=InMemoryMetadataIO(io.store)))
+    assert r2.watermark() == 1
+    assert r2.state().count() == 1
+
+
+def test_vacuum_through_metadata_io(spark, tmp_path):
+    io = InMemoryMetadataIO()
+    t = LakeTable.create(
+        spark, str(tmp_path / "v"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2, io=io,
+    )
+    for i in range(4):
+        merge_into(t, _events(
+            spark, [(i + 1, "I", f"c{i}", 0, "user", "x", None, None)]), f"b{i}")
+    before = sum(1 for k in io.store if "snap-" in k)
+    t.vacuum(keep_snapshots=2)
+    after = sum(1 for k in io.store if "snap-" in k)
+    assert after == 2 < before
+    assert t.current().version == 4
