@@ -1,0 +1,127 @@
+"""A8 FHIR paginated REST source — recorded-fixture tests mirroring
+``fhir/FhirServiceTest.java`` (mocked WebClient -> injected fetch_page)."""
+
+import pytest
+
+from picsure_dictionary_etl_spark.sources import fhir
+
+PAGE1 = {
+    "entry": [
+        {"resource": {"id": "phs000001.v1.p1", "description": "Study one",
+                      "extension": [
+                          {"url": "https://x/StructureDefinition/study-focus",
+                           "valueString": "oncology"},
+                          {"url": "https://x/ignored-url", "valueString": "zzz"},
+                      ]}},
+        {"resource": {"id": "phs000002.v2.p1", "description": "",
+                      "extension": None}},
+    ],
+    "link": [{"relation": "self", "url": "https://fhir/rs?_count=2"},
+             {"relation": "next", "url": "https://fhir/rs?_count=2&page=2"}],
+}
+PAGE2 = {
+    "entry": [
+        {"resource": {"id": "other-study", "description": "Not phs",
+                      "extension": [
+                          {"url": "https://x/StructureDefinition/study-design",
+                           "valueString": "cohort"}]}},
+        {"resource": None},
+    ],
+    "link": [{"relation": "self", "url": "https://fhir/rs?_count=2&page=2"}],
+}
+URL_TO_KEY = {"study-focus": "focus", "study-design": "design"}
+
+
+def _fetch(calls):
+    def f(url):
+        calls.append(url)
+        return PAGE2 if "page=2" in url else PAGE1
+    return f
+
+
+def test_pager_follows_next_links_and_count_param():
+    calls = []
+    studies = fhir.fetch_research_studies(
+        "https://fhir/rs", page_size=2, fetch_page=_fetch(calls))
+    assert calls[0] == "https://fhir/rs?_count=2"
+    assert len(calls) == 2  # stopped when no next link
+    # null resources dropped, all pages concatenated
+    assert [s["id"] for s in studies] == [
+        "phs000001.v1.p1", "phs000002.v2.p1", "other-study"]
+
+
+def test_pager_detects_next_link_cycle():
+    cyclic = {"entry": [], "link": [{"relation": "next", "url": "https://fhir/rs?x"}]}
+    with pytest.raises(RuntimeError, match="cycle"):
+        fhir.fetch_research_studies(
+            "https://fhir/rs", fetch_page=lambda u: cyclic, max_pages=5)
+
+
+def test_studies_df_and_metadata_mapping(spark):
+    studies = fhir.research_studies_df(
+        spark,
+        fhir.fetch_research_studies("https://fhir/rs", fetch_page=_fetch([])),
+    )
+    assert studies.count() == 3
+    refs = {r["study_id"]: r["ref"] for r in studies.collect()}
+    assert refs["phs000001.v1.p1"] == "phs000001"
+
+    meta = fhir.dataset_metadata_updates(studies, URL_TO_KEY).collect()
+    got = {(r["ref"], r["key"]): r["value"] for r in meta}
+    # suffix-matched urls map to keys; unmapped urls drop
+    assert got == {("phs000001", "focus"): "oncology",
+                   ("other-study", "design"): "cohort"}
+
+    phs = sorted(r["phs"] for r in fhir.distinct_phs_values(studies).collect())
+    assert phs == ["phs000001", "phs000002"]
+
+
+def test_update_only_merge_against_lake_tables(spark, tmp_path):
+    """updateDatasetMetadata semantics: existing datasets only, blank
+    descriptions preserved, metadata add-or-update by (ref, key)."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    ds_schema = T.StructType([
+        T.StructField("ref", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    md_schema = T.StructType([
+        T.StructField("ref", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    ds = LakeTable.create(spark, str(tmp_path / "ds"), schema=ds_schema,
+                          key_cols=["ref"], bucket_count=2)
+    md = LakeTable.create(spark, str(tmp_path / "md"), schema=md_schema,
+                          key_cols=["ref", "key"], bucket_by=["ref"], bucket_count=2)
+    seed = spark.createDataFrame(
+        [("phs000001", "old desc", "I", 1), ("phs000002", "keep me", "I", 2)],
+        ds_schema)
+    merge_into(ds, seed, "seed")
+    merge_into(md, spark.createDataFrame(
+        [("phs000001", "focus", "stale", "I", 1)], md_schema), "seed")
+
+    studies = fhir.research_studies_df(
+        spark,
+        fhir.fetch_research_studies("https://fhir/rs", fetch_page=_fetch([])),
+    )
+    fhir.apply_fhir_updates(ds, md, studies, URL_TO_KEY, "fhir1", lsn=10)
+
+    live_ds = {r["ref"]: r["description"] for r in resolve_live(
+        ds.read(), ["ref"], ["description"]).collect()}
+    # phs000001 updated; phs000002's blank FHIR description preserved;
+    # 'other-study' NOT inserted (matched_only / the reference's 404)
+    assert live_ds == {"phs000001": "Study one", "phs000002": "keep me"}
+
+    live_md = {(r["ref"], r["key"]): r["value"] for r in resolve_live(
+        md.read(), ["ref", "key"], ["value"]).collect()}
+    # existing row updated, new (ref,key) inserted (add-or-update)
+    assert live_md == {("phs000001", "focus"): "oncology",
+                       ("other-study", "design"): "cohort"}
