@@ -920,7 +920,7 @@ def q_embedding_near_dups(spark, sf_dir):
     path produces checkable rows."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
-        e, "vec_id", "embedding", threshold=0.35, planes=8
+        e, "vec_id", "embedding", threshold=0.35, planes=8, dim=64
     )
 
 

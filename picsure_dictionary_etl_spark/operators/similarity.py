@@ -75,6 +75,16 @@ def hyperplane_coeffs(dim: int, planes: int = 8, seed: int = 0) -> list[list[flo
     ]
 
 
+def _projections(
+    vec_col: Column, dim: int, planes: int, seed: int, round_digits: int
+) -> list[Column]:
+    coeffs = hyperplane_coeffs(dim, planes, seed)
+    return [
+        F.round(_dot(vec_col, F.array(*[F.lit(c) for c in coeffs[p]])), round_digits)
+        for p in range(planes)
+    ]
+
+
 def hyperplane_bucket(
     vec_col: Column, dim: int, planes: int = 8, seed: int = 0, round_digits: int = 9
 ) -> Column:
@@ -82,13 +92,46 @@ def hyperplane_bucket(
     The projection is rounded before the sign test so bucket ids are
     stable across engines' float-sum orderings (same trick as
     ``cosine_topk``'s pre-rank rounding)."""
-    coeffs = hyperplane_coeffs(dim, planes, seed)
+    projs = _projections(vec_col, dim, planes, seed, round_digits)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        plane = F.array(*[F.lit(c) for c in coeffs[p]])
-        proj = F.round(_dot(vec_col, plane), round_digits)
-        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(projs[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def probe_buckets(
+    vec_col: Column,
+    dim: int,
+    planes: int = 8,
+    seed: int = 0,
+    extra: int = 0,
+    round_digits: int = 9,
+) -> Column:
+    """Multi-probe bucket set (``array<long>``): the vector's own
+    sign-bucket plus ``extra`` buckets obtained by flipping the
+    lowest-|margin| hyperplane bits — the planes the vector sits
+    closest to, i.e. where a true near-neighbor most plausibly landed
+    on the other side. Entirely in-plan (sort_array over
+    (|margin|, plane) structs + transform), no driver work, no UDF."""
+    projs = _projections(vec_col, dim, planes, seed, round_digits)
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket + F.when(projs[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
+    if extra <= 0:
+        return F.array(bucket)
+    margins = F.sort_array(
+        F.array(
+            *[
+                F.struct(F.abs(projs[p]).alias("m"), F.lit(p).alias("p"))
+                for p in range(planes)
+            ]
+        )
+    )
+    flips = F.slice(margins, 1, min(extra, planes))
+    flipped = F.transform(
+        flips, lambda s: bucket.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long"))
+    )
+    return F.concat(F.array(bucket), flipped)
 
 
 def lsh_bucketed_topk(
@@ -98,19 +141,25 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's hyperplane
-    bucket. At scale, persist the bucket column (or make it a partition
-    key) so the probe is a partition-pruned scan."""
+    bucket(s). The query's probe-bucket set is a 1-row broadcast joined
+    in-plan (identical arithmetic to the data side, no driver collect,
+    no extra job). ``probes`` > 1 additionally searches the buckets
+    reached by flipping the query's lowest-|margin| bits — the standard
+    multi-probe recall lever at loose thresholds. At scale, persist the
+    bucket column (or make it a partition key) so the probe is a
+    partition-pruned scan."""
     dim = len(query_vec)
-    # the query's bucket is evaluated via a 1-row DataFrame so the
-    # arithmetic is guaranteed identical to the Column path
     spark = df.sparkSession
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qrow = spark.range(1).select(hyperplane_bucket(q, dim, planes).alias("b")).collect()
-    qbucket = qrow[0]["b"]
+    qdf = spark.range(1).select(
+        F.explode(probe_buckets(q, dim, planes, extra=probes - 1)).alias("_qb")
+    )
     bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), dim, planes))
-    cand = bucketed.filter(F.col("_b") == int(qbucket))
+    # distinct single-bit flips always differ, so the join can't dupe rows
+    cand = bucketed.join(F.broadcast(qdf), F.col("_b") == F.col("_qb")).drop("_qb")
     return cosine_topk(cand, query_vec, id_col, vec_col, k)
 
 
@@ -121,32 +170,47 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     planes: int = 8,
     round_digits: int = 6,
+    dim: int | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: candidates are generated ONLY
     inside hyperplane sign buckets (two vectors at cosine >= ~0.98 agree
     on almost every random hyperplane, so same-bucket recall is high),
     then verified exactly. Never all-pairs: shuffle key = bucket id; at
     scale the bucket is a partition column and each bucket's candidate
-    join is local. Multi-probe (flipping low-margin bits) would raise
-    recall further — documented extension, same plan shape."""
-    dim = len(df.select(vec_col).first()[0])
+    join is local.
+
+    ``dim`` should be passed by the caller (it always knows it); the
+    ``first()``-probe fallback costs an extra Spark job and raises on
+    empty input. ``multi_probe`` > 0 additionally registers each vector
+    under that many flipped lowest-|margin| buckets (explode factor
+    1+multi_probe per side) — the recall lever for thresholds below
+    ~0.95, where single-bucket agreement decays; pairs meeting in
+    several probe buckets dedupe before the exact verify."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), dim, planes).alias("_b"),
+        F.explode(
+            probe_buckets(F.col(vec_col), dim, planes, extra=multi_probe)
+        ).alias("_b"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits)
+    pairs = a.join(
+        b,
+        (F.col("a._b") == F.col("b._b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{vec_col}").alias("_vb"),
+    )
+    if multi_probe > 0:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
     return (
-        a.join(
-            b,
-            (F.col("a._b") == F.col("b._b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
