@@ -253,6 +253,11 @@ def test_mor_fieldwise_writes_are_batch_sized_and_compaction_resolves(spark, tmp
             compact_threshold=3,
         )
         assert r.metrics["mode"] == "mor"
+        if not r.metrics.get("buckets_compacted"):
+            # O(batch) writes: a 1-event partial batch appends 1 winner
+            # row — never the touched bucket's full contents (COW would
+            # rewrite both seeded keys)
+            assert r.metrics["rows_written"] == 1, r.metrics
     s = _state(t)
     assert s[("c1", 0)] == ("adm", "e4", "web", TS2)
     # at least one compaction ran (threshold 3, 4+ files in the hot bucket)
