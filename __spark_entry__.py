@@ -271,6 +271,67 @@ FROM g WHERE op <> 'D'
 """
 
 
+def q_partial_update_mixed(spark, sf_dir):
+    """The MOR field-wise read path (round 3): a history mixing FULL
+    rows (row-policy deltas / compacted bases — here even-LSN events)
+    with PARTIAL rows (_pu-tagged field-wise deltas — odd-LSN events)
+    resolves in ONE aggregate: full rows specify every field at their
+    LSN, nulls included (so a committed null is never resurrected),
+    partial rows only the fields they provided. Exercises
+    lake.merge.lww_winners_fieldwise(full_row_col=...), the reduce
+    behind resolve_live on _pu-carrying tables."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners_fieldwise
+
+    cdc = _events_as_cdc(spark, sf_dir)
+    src = cdc.select(
+        F.col("lsn").alias("_lsn"),
+        F.col("op").alias("_op"),
+        "user_id",
+        "turn_idx",
+        "event_type",
+        "value",
+    ).withColumn("_pu", F.pmod(F.col("_lsn"), F.lit(2)) == 1)
+    w = lww_winners_fieldwise(
+        src, ["user_id", "turn_idx"], ["event_type", "value"],
+        policy="coalesce", full_row_col="_pu",
+    )
+    return w.filter(F.col("_op") != "D").select(
+        "user_id",
+        "turn_idx",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_specified_value"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+SQL_PARTIAL_UPDATE_MIXED = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         (event_id % 2 = 1) AS pu,
+         event_type, value
+  FROM events
+), g AS (
+  SELECT user_id, turn_idx,
+         max(CASE WHEN op = 'D' THEN lsn END) AS del_lsn,
+         arg_max(op, lsn) AS op,
+         max(lsn) AS last_lsn,
+         arg_max(event_type,
+                 CASE WHEN (NOT pu) OR event_type IS NOT NULL THEN lsn END) AS et,
+         max(CASE WHEN (NOT pu) OR event_type IS NOT NULL THEN lsn END) AS et_lsn,
+         arg_max(value, CASE WHEN (NOT pu) OR value IS NOT NULL THEN lsn END) AS v,
+         max(CASE WHEN (NOT pu) OR value IS NOT NULL THEN lsn END) AS v_lsn
+  FROM ev GROUP BY user_id, turn_idx
+)
+SELECT user_id, turn_idx,
+       CASE WHEN del_lsn IS NULL OR et_lsn > del_lsn THEN et END AS last_event_type,
+       CASE WHEN del_lsn IS NULL OR v_lsn > del_lsn THEN v END AS last_specified_value,
+       last_lsn
+FROM g WHERE op <> 'D'
+"""
+
+
 def q_flatten_categorical(spark, sf_dir):
     """C2: sorted distinct value-set union per key (µ-joined)."""
     ev = _t(spark, sf_dir, "events")
@@ -1327,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dead_letter": q_cdc_dead_letter,
         "cdc_watermark_slice": q_cdc_watermark_slice,
         "partial_update_coalesce": q_partial_update_coalesce,
+        "partial_update_mixed": q_partial_update_mixed,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
         "first_wins_pick": q_first_wins_pick,
@@ -1380,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dead_letter": SQL_CDC_DEAD_LETTER,
         "cdc_watermark_slice": SQL_CDC_WATERMARK_SLICE,
         "partial_update_coalesce": SQL_PARTIAL_UPDATE_COALESCE,
+        "partial_update_mixed": SQL_PARTIAL_UPDATE_MIXED,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
         "first_wins_pick": SQL_FIRST_WINS_PICK,
