@@ -125,3 +125,19 @@ def test_fieldwise_reduce_is_single_shuffle(spark):
         carry_cols=["_bucket"],
     )
     assert_exchange_count(w, 1)
+
+
+def test_mixed_resolve_is_single_shuffle(spark):
+    """The MOR field-wise READ path (mixed full/partial resolve) is
+    still one aggregate: the full-row ordering branch adds a per-column
+    CASE, never a join or second exchange."""
+    from picsure_dictionary_etl_spark.lake.merge import lww_winners_fieldwise
+
+    df = _cdc_frame(spark).withColumn("_pu", F.col("_lsn") % 2 == 1)
+    w = lww_winners_fieldwise(
+        df, ["conv_id", "turn_idx"], ["text", "role"],
+        carry_cols=["_bucket"], full_row_col="_pu",
+    )
+    assert_exchange_count(w, 1)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
