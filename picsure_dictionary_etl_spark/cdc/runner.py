@@ -50,6 +50,14 @@ class RunnerConfig:
     lineage_path: str | None = None  # JSONL, one line per commit
     bucket_count: int = 16
     merge_mode: str = "mor"  # 'mor' (append deltas, compact lazily) | 'cow'
+    # UPDATE SET semantics for every batch this runner applies:
+    # 'row' (whole-row LWW) | 'coalesce' (D7 partial updates) |
+    # 'blank_preserve' (D6). Non-row policies ride the same MOR path
+    # (_pu-tagged field-wise deltas, O(batch) writes). Note: with
+    # normalize=True, sentinel normalization maps ''/'null' to NULL on
+    # the winners BEFORE resolution, so blank strings read as
+    # "unspecified" under coalesce too (D6-ish) for normalized columns.
+    update_policy: str = "row"
     # mor: max files per bucket before inline compaction. Scaled by the
     # salt factor internally (salting writes `salt_partitions` files per
     # bucket per batch — a raw file count would trigger compaction churn).
@@ -177,6 +185,7 @@ class CdcRunner:
             extra_lineage={"dead_letter_rows": dead_rows, "salt_partitions": salt},
             watermark_lsn=watermark_lsn,
             post_reduce_transform=normalize_events if self.config.normalize else None,
+            update_policy=self.config.update_policy,
         )
         self._maybe_adapt_salt(result.metrics)
         if (

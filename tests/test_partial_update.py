@@ -269,6 +269,32 @@ def test_mor_fieldwise_writes_are_batch_sized_and_compaction_resolves(spark, tmp
     assert s[("c1", 1)] == ("assistant", "hi", "search", TS1)
 
 
+def test_runner_partial_update_stream(spark, tmp_path):
+    """The standard runner surface drives the MOR field-wise path:
+    RunnerConfig(update_policy='coalesce') applies partial batches with
+    O(batch) delta writes, and state() resolves mixed history."""
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "rt"), bucket_count=4, normalize=False))
+    r.apply_batch(_events(spark, [
+        (1, "I", "c1", 0, "user", "hello", "cli", TS1)]), "seed")
+
+    rp = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "rt"), bucket_count=4, normalize=False,
+        update_policy="coalesce"))
+    res = rp.apply_batch(_events(spark, [
+        (2, "U", "c1", 0, None, "edited", None, None)]), "p1")
+    assert res.metrics["mode"] == "mor"
+    assert res.metrics["rows_written"] == 1  # delta, not bucket rewrite
+    rows = {(x["conv_id"], x["turn_idx"]): x for x in rp.state().collect()}
+    row = rows[("c1", 0)]
+    assert (row["role"], row["text"], row["tool"], row["ts"]) == (
+        "user", "edited", "cli", TS1)
+    # system columns never leak out of state()
+    assert not {"_pu", "_del_lsn", "_op", "_lsn"} & set(rp.state().columns)
+
+
 def test_iceberg_merge_sql_rendering():
     """The documented Iceberg integration seam renders the exact
     statement for each policy."""
