@@ -295,6 +295,38 @@ def test_runner_partial_update_stream(spark, tmp_path):
     assert not {"_pu", "_del_lsn", "_op", "_lsn"} & set(rp.state().columns)
 
 
+def test_fieldwise_with_additive_schema_evolution(spark, tmp_path):
+    """A new column arriving mid-stream (additive evolution) composes
+    with field-wise MOR deltas: old rows read the column as null, a
+    partial update specifying ONLY the new column leaves every old
+    field intact."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "rt"), bucket_count=4, normalize=False,
+        update_policy="coalesce"))
+    r.apply_batch(_events(spark, [
+        (1, "I", "c1", 0, "user", "hello", "cli", TS1)]), "seed")
+
+    evolved = spark.createDataFrame(
+        [(2, "U", "c1", 0, "gpt-5")],
+        T.StructType([
+            T.StructField("_lsn", T.LongType()),
+            T.StructField("_op", T.StringType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("model", T.StringType()),  # NEW column
+        ]),
+    )
+    r.apply_batch(evolved, "evolve")
+    row = r.state().collect()[0].asDict()
+    assert row["model"] == "gpt-5"
+    assert (row["role"], row["text"], row["tool"], row["ts"]) == (
+        "user", "hello", "cli", TS1)
+
+
 def test_iceberg_merge_sql_rendering():
     """The documented Iceberg integration seam renders the exact
     statement for each policy."""
