@@ -1008,6 +1008,58 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups(64, 8, 0.35)
 
 
+def q_embedding_near_dups_multiprobe(spark, sf_dir):
+    """Multi-probe near-dups (round 3): each vector additionally
+    registers under the bucket reached by flipping its lowest-|margin|
+    hyperplane bit, so borderline pairs split by one plane still meet;
+    pairs dedupe before the exact cosine verify. Same plan family as
+    embedding_near_dups (bucket-join, never all-pairs), explode factor
+    2 per side."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        e, "vec_id", "embedding", threshold=0.35, planes=8, dim=64, multi_probe=1
+    )
+
+
+def _sql_embedding_near_dups_multiprobe(
+    dim: int = 64, planes: int = 8, threshold: float = 0.35
+) -> str:
+    coeffs = similarity.hyperplane_coeffs(dim, planes)
+
+    def arr(row):
+        return "[" + ", ".join(repr(c) for c in row) + "]"
+
+    def proj(p):
+        return f"round(list_dot_product(embedding::DOUBLE[], {arr(coeffs[p])}), 9)"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(planes)
+    )
+    margins = ", ".join(
+        f"struct_pack(m := abs({proj(p)}), p := {p})" for p in range(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({bucket} AS BIGINT) AS bucket,
+         list_sort([{margins}]) AS margins
+  FROM embeddings
+), probes AS (
+  SELECT vec_id, embedding, bucket AS pb FROM b
+  UNION ALL
+  SELECT vec_id, embedding,
+         xor(bucket, CAST(2 ** margins[1].p AS BIGINT)) AS pb FROM b
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM probes a JOIN probes b ON a.pb = b.pb AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE = _sql_embedding_near_dups_multiprobe(64, 8, 0.35)
+
+
 def q_regex_extract_families(spark, sf_dir):
     """B9: regex family extraction (the month-pattern analog) — numeric
     group pulled out of a formatted code, distinct + counted."""
@@ -1389,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_watermark_slice": q_cdc_watermark_slice,
         "partial_update_coalesce": q_partial_update_coalesce,
         "partial_update_mixed": q_partial_update_mixed,
+        "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
         "first_wins_pick": q_first_wins_pick,
@@ -1443,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_watermark_slice": SQL_CDC_WATERMARK_SLICE,
         "partial_update_coalesce": SQL_PARTIAL_UPDATE_COALESCE,
         "partial_update_mixed": SQL_PARTIAL_UPDATE_MIXED,
+        "embedding_near_dups_multiprobe": SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
         "first_wins_pick": SQL_FIRST_WINS_PICK,
