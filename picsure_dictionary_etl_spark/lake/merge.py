@@ -390,6 +390,12 @@ def merge_into(
         # cuts the vectorized-UDF volume by the duplicate factor.
         winners = post_reduce_transform(winners)
 
+    # conflict-count lineage, piggybacked on the write job (no extra
+    # action): winners = distinct keys surviving the in-batch LWW
+    # reduce; conflicts = superseded duplicates the reduce suppressed
+    wobs = Observation(f"winners-{batch_id}")
+    winners = winners.observe(wobs, F.count(F.lit(1)).alias("winners"))
+
     salt = [F.pmod(F.xxhash64(*keys), F.lit(salt_partitions))] if salt_partitions else None
     version = snap.version + 1
 
@@ -420,6 +426,7 @@ def merge_into(
         extra_lineage = {**(extra_lineage or {}), "update_policy": update_policy}
 
     m = {k: (int(v) if v is not None else None) for k, v in obs.get.items()}
+    winners_n = int(wobs.get["winners"] or 0)
     written = {**appends, **replaces}
     per_bucket = _bucket_row_counts(table, written)
     metrics: dict[str, Any] = {
@@ -430,6 +437,8 @@ def merge_into(
         "buckets_total": snap.bucket_count,
         "rows_written": sum(per_bucket.values()),
         "per_bucket_rows": per_bucket,
+        "winners": winners_n,
+        "lww_conflicts": max(0, (m.get("rows_in") or 0) - winners_n),
         **m,
         **(extra_lineage or {}),
     }

@@ -137,3 +137,30 @@ def test_delete_all_then_reinsert(spark, tmp_path):
     runner.apply_batch(df.filter(df._lsn == 3), "b2")
     out = runner.state().collect()
     assert len(out) == 1 and out[0]["text"] == "again"
+
+
+def test_conflict_count_lineage(spark, tmp_path):
+    """Per-commit lineage carries winners + lww_conflicts (superseded
+    in-batch duplicates) — observed on the write job, no extra action."""
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "I", "c1", 0, "user", "v1", None, None),
+            (2, "U", "c1", 0, "user", "v2", None, None),  # supersedes lsn 1
+            (3, "I", "c2", 0, "user", "x", None, None),
+        ],
+        change_event_schema(),
+    )
+    m = merge_into(t, ev, "b1").metrics
+    assert m["rows_in"] == 3 and m["winners"] == 2 and m["lww_conflicts"] == 1
