@@ -592,10 +592,17 @@ def table_changes(
 
     def live(version: int) -> DataFrame:
         snap = table.snapshot(version)
-        df = _read_raw(table, snap, keys, payload, rel_files=snap.all_files())
+        names = {f.name for f in snap.schema.fields}
+        present = [c for c in payload if c in names]
+        df = _read_raw(table, snap, keys, present, rel_files=snap.all_files())
+        # columns added by later (additive) schema evolution read as
+        # null in the older snapshot — diff-able by definition
+        for c in payload:
+            if c not in names:
+                df = df.withColumn(c, F.lit(None).cast(snap_to.schema[c].dataType))
         return resolve_live(
             df, keys, payload,
-            policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+            policy=snap.properties.get("update_policy", "row"), schema=snap_to.schema,
         )
 
     def hashed(df: DataFrame, side: str) -> DataFrame:

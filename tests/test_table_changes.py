@@ -143,3 +143,48 @@ def test_table_changes_property_hypothesis(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """table_changes straddling an additive evolution: the from-version
+    lacks the new column; its live rows read it as null and the CDF
+    classifies the fill-in as an Update."""
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, table_changes
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+    merge_into(t, spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello", None, None)], change_event_schema()),
+        "b1")
+    v1 = t.current().version
+    t.evolve_schema([T.StructField("model", T.StringType(), True)])
+    ev2 = spark.createDataFrame(
+        [(2, "U", "c1", 0, "user", "hello", None, None, "m-1")],
+        T.StructType([
+            T.StructField("_lsn", T.LongType()),
+            T.StructField("_op", T.StringType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("model", T.StringType()),
+        ]),
+    )
+    ev2 = ev2.select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+                     "model", "_op", "_lsn")
+    merge_into(t, ev2, "b2")
+    v2 = t.current().version
+    changes = {(r["conv_id"], r["turn_idx"]): (r["_change"], r["model"])
+               for r in table_changes(t, v1, v2).collect()}
+    assert changes == {("c1", 0): ("U", "m-1")}
