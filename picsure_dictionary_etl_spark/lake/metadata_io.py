@@ -56,6 +56,13 @@ class MetadataIO:
         overwriting an identical retry is allowed)."""
         raise NotImplementedError
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomically create the object IFF it doesn't exist. Returns
+        True on claim, False if something already claimed it — the
+        optimistic-concurrency primitive (POSIX O_EXCL; an object
+        store's If-None-Match PUT; a catalog's INSERT)."""
+        raise NotImplementedError
+
     def swap_pointer(self, path: str, text: str) -> None:
         """Atomically replace the pointer object: readers see either
         the old or the new content, never a torn write."""
@@ -92,6 +99,16 @@ class PosixMetadataIO(MetadataIO):
             f.write(text)
             f.flush()
             os.fsync(f.fileno())
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        try:
+            with open(path, "x") as f:  # O_EXCL: atomic claim on POSIX
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        except FileExistsError:
+            return False
 
     def swap_pointer(self, path: str, text: str) -> None:
         d = os.path.dirname(path)
@@ -135,6 +152,12 @@ class InMemoryMetadataIO(MetadataIO):
 
     def write_atomic(self, path: str, text: str) -> None:
         self.store[path] = text
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        if path in self.store:
+            return False
+        self.store[path] = text
+        return True
 
     def swap_pointer(self, path: str, text: str) -> None:
         self.swaps += 1

@@ -56,6 +56,13 @@ BUCKET_COL = "_bucket"
 MAX_REMEMBERED_BATCHES = 10_000
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this snapshot version first. The losing
+    commit changed nothing durable — re-read the table and retry (or
+    fix the deployment: the engine assumes one live writer per table,
+    like the reference's single-flight lock)."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -181,11 +188,42 @@ class LakeTable:
         return Snapshot.from_json(self.io.read_text(path))
 
     def _write_snapshot(self, snap: Snapshot) -> None:
+        """Claim-then-swap commit with optimistic concurrency detection.
+
+        The manifest write is an atomic CLAIM (``create_exclusive``): if
+        version N is already claimed by a DIFFERENT commit, a second
+        live writer is racing this table and the commit aborts with
+        :class:`ConcurrentCommitError` before any pointer moves. A claim
+        left by a crashed attempt of the SAME commit (matching batch id,
+        or identical metadata-only intent) is taken over — that's the
+        resume path, where the retried batch has already rewritten the
+        claim's data directory. (Iceberg analog: manifest CAS against
+        the catalog; the reference analog: the DB's unique constraint on
+        ``update_info``.)"""
         meta = os.path.join(self.root, META_DIR)
-        self.io.write_atomic(
-            os.path.join(meta, f"snap-{snap.version:08d}.json"), snap.to_json()
-        )
+        snap_path = os.path.join(meta, f"snap-{snap.version:08d}.json")
+        payload = snap.to_json()
+        if not self.io.create_exclusive(snap_path, payload):
+            existing = Snapshot.from_json(self.io.read_text(snap_path))
+            if not self._same_commit_intent(existing, snap):
+                raise ConcurrentCommitError(
+                    f"snapshot v{snap.version} of {self.root} was claimed by a "
+                    f"different commit (theirs: {existing.lineage!r}, "
+                    f"ours: {snap.lineage!r})"
+                )
+            self.io.write_atomic(snap_path, payload)  # take over our crashed claim
         self.io.swap_pointer(os.path.join(meta, VERSION_FILE), str(snap.version))
+
+    @staticmethod
+    def _same_commit_intent(a: Snapshot, b: Snapshot) -> bool:
+        """Is an existing claim a crashed attempt of THIS commit? Batch
+        ids identify data commits across retries (file names differ per
+        attempt); metadata-only commits (evolve/truncate/create) retry
+        with identical deterministic lineage."""
+        ba, bb = a.lineage.get("batch_id"), b.lineage.get("batch_id")
+        if ba is not None or bb is not None:
+            return ba == bb
+        return (a.parent, a.lineage) == (b.parent, b.lineage)
 
     # ---------- reads ----------
 

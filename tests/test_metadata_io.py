@@ -72,6 +72,76 @@ def test_runner_on_non_posix_commit_point(spark, tmp_path):
     assert r2.state().count() == 1
 
 
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two live writers racing the same version: the second claim is a
+    different batch -> ConcurrentCommitError, and the winner's commit
+    (pointer AND manifest) is untouched."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.table import ConcurrentCommitError
+
+    io = InMemoryMetadataIO()
+    root = str(tmp_path / "cc")
+    t1 = LakeTable.create(
+        spark, root, schema=transcript_table_schema(), key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"], bucket_count=2, io=io,
+    )
+    t2 = LakeTable.load(spark, root, io=InMemoryMetadataIO(io.store))
+    # both handles observe v0; t1 commits first
+    merge_into(t1, _events(spark, [
+        (1, "I", "c1", 0, "user", "a", None, None)]), "writer1")
+    # t2 raced: it computed version 1 from its stale v0 read BEFORE
+    # writer1 swapped — its claim of v1 must lose at the claim, not
+    # silently clobber (commit() itself re-reads the pointer, so the
+    # interleaving is simulated at the snapshot-write seam)
+    from picsure_dictionary_etl_spark.lake.table import Snapshot
+
+    stale = t2.snapshot(0)
+    loser = Snapshot(
+        version=1, parent=0, schema_json=stale.schema_json,
+        bucket_count=stale.bucket_count, key_cols=stale.key_cols,
+        bucket_by=stale.bucket_by, files={}, properties={},
+        lineage={"batch_id": "writer2"},
+    )
+    with pytest.raises(ConcurrentCommitError):
+        t2._write_snapshot(loser)
+    # winner intact: pointer at v1, batch writer1 applied, state readable
+    assert t2.current().version == 1
+    assert "writer1" in t2.applied_batch_ids()
+    live = resolve_live(t2.read(), TRANSCRIPT_KEY, ["role", "text", "tool", "ts"])
+    assert live.count() == 1
+
+
+def test_crashed_claim_takeover_resumes(spark, tmp_path):
+    """A manifest claimed by a crashed attempt of the SAME batch id is
+    taken over on retry (the kill-between-claim-and-swap window)."""
+    import json
+    import os as _os
+
+    io = InMemoryMetadataIO()
+    root = str(tmp_path / "tk")
+    t = LakeTable.create(
+        spark, root, schema=transcript_table_schema(), key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"], bucket_count=2, io=io,
+    )
+    # simulate the crashed attempt: v1 manifest claimed with our batch id,
+    # pointer still at v0
+    orphan = t.current()
+    orphan_json = json.loads(orphan.to_json())
+    orphan_json["version"], orphan_json["parent"] = 1, 0
+    orphan_json["lineage"] = {"batch_id": "b1"}
+    meta = _os.path.join(t.root, "_meta")
+    assert io.create_exclusive(
+        _os.path.join(meta, "snap-00000001.json"), json.dumps(orphan_json))
+    assert t.current().version == 0
+
+    r = merge_into(t, _events(spark, [
+        (1, "I", "c1", 0, "user", "a", None, None)]), "b1")
+    assert r.snapshot.version == 1
+    assert t.current().version == 1
+    assert t.watermark() == 1  # the retried commit's props won, not the orphan's
+
+
 def test_vacuum_through_metadata_io(spark, tmp_path):
     io = InMemoryMetadataIO()
     t = LakeTable.create(
