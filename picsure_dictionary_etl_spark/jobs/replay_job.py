@@ -12,14 +12,16 @@ Cluster usage (the deployment path the engine is designed for)::
         --lsn-step 100000000 --bucket-count 1024
 
 ``--events`` can be any Spark-readable URI (s3/hdfs/file). ``--table``
-names the table root: DATA files are written by executors through
-Spark, while snapshot metadata and commit bookkeeping go through the
-injectable ``MetadataIO`` commit point (``lake/metadata_io.py``). The
-default is POSIX (local disk or a shared NFS/EFS mount — atomic
-rename); an object-store root plugs in a catalog/conditional-PUT
-implementation via ``RunnerConfig(metadata_io=...)`` — the protocol is
-four small methods, exercised against a non-POSIX test double in
-``tests/test_metadata_io.py``.
+must still be a driver-accessible POSIX path (local disk or a shared
+NFS/EFS mount): the DATA plane — output-dir listing, parquet-footer
+lineage, vacuum's walk — uses driver-local file IO. What IS pluggable
+is the COMMIT POINT: snapshot manifests and the VERSION pointer go
+through ``MetadataIO`` (``lake/metadata_io.py``; POSIX atomic-rename
+default, catalog/conditional-PUT implementations via
+``RunnerConfig(metadata_io=...)``, exercised against a non-POSIX test
+double in ``tests/test_metadata_io.py``). A pure object-store table
+root additionally needs the data-plane listing moved onto the Hadoop
+filesystem API — the one remaining integration seam.
 
 Local sandbox usage::
 

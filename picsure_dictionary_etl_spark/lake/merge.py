@@ -507,7 +507,9 @@ def _cow_write(
         src = src.join(live_keys, keys, "left_semi")
     fieldwise = update_policy != "row" or PU_COL in target.columns
     if fieldwise:
-        # align both sides on the full system-column set
+        # align both sides on the full system-column set; resolve_live
+        # then dispatches to the mixed reduce (PU_COL present) — the
+        # same code path MOR reads and compaction use
         for c, dtype in ((DEL_LSN_COL, "long"), (PU_COL, "boolean")):
             if c not in target.columns:
                 target = target.withColumn(c, F.lit(None).cast(dtype))
@@ -516,21 +518,18 @@ def _cow_write(
                     c,
                     F.lit(update_policy != "row" if c == PU_COL else None).cast(dtype),
                 )
-        combined = target.unionByName(src)
-        live = (
-            lww_winners_fieldwise(
-                combined, keys, payload,
-                policy=(resolve_policy if resolve_policy != "row" else "coalesce"),
-                schema=snap.schema, full_row_col=PU_COL,
-            )
-            .filter(F.col(OP_COL) != OP_DELETE)
-            .drop(DEL_LSN_COL)
-        )
-    else:
-        combined = target.unionByName(src)
-        live = resolve_live(combined, keys, payload)
+    combined = target.unionByName(src)
+    live = resolve_live(
+        combined, keys, payload, policy=resolve_policy, schema=snap.schema
+    )
     live = live.withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
-    replaces = table.write_data_files(live, version, write_partitions=salt)
+    # every CHANGED bucket must be replaced even when it resolved to
+    # ZERO live rows (a batch that deletes a bucket's last keys): the
+    # dynamic-partition writer emits no dir for an empty bucket, and a
+    # missing `replaces` entry would keep the old files — the delete
+    # would silently vanish
+    replaces = {str(b): [] for b in changed}
+    replaces.update(table.write_data_files(live, version, write_partitions=salt))
     winners.unpersist()
     return {}, replaces, changed
 
@@ -567,7 +566,13 @@ def _mor_write(
             resolve_live(base, keys, payload, policy=resolve_policy, schema=snap.schema)
             .withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
         )
-        replaces = table.write_data_files(live, version, write_partitions=salt, subdir="base")
+        # same zero-live-rows guard as the COW path: a compacted bucket
+        # whose keys all died must swap to an EMPTY file list, not keep
+        # its pre-compaction files
+        replaces = {str(b): [] for b in to_compact}
+        replaces.update(
+            table.write_data_files(live, version, write_partitions=salt, subdir="base")
+        )
         for b in to_compact:
             # superseded deltas become unreferenced files (GC'able)
             appends.pop(str(b), None)

@@ -94,30 +94,36 @@ class PosixMetadataIO(MetadataIO):
         with open(path) as f:
             return f.read()
 
-    def write_atomic(self, path: str, text: str) -> None:
-        with open(path, "w") as f:
-            f.write(text)
-            f.flush()
-            os.fsync(f.fileno())
-
-    def create_exclusive(self, path: str, text: str) -> bool:
-        try:
-            with open(path, "x") as f:  # O_EXCL: atomic claim on POSIX
-                f.write(text)
-                f.flush()
-                os.fsync(f.fileno())
-            return True
-        except FileExistsError:
-            return False
-
-    def swap_pointer(self, path: str, text: str) -> None:
+    def _write_tmp(self, path: str, text: str) -> str:
         d = os.path.dirname(path)
         tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(text)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)  # atomic pointer swap
+        return tmp
+
+    def write_atomic(self, path: str, text: str) -> None:
+        # fsync'd temp + rename: a crash mid-write can never leave the
+        # object torn (readers see old-or-new, matching the contract)
+        os.rename(self._write_tmp(path, text), path)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        # content lands durably in a temp file FIRST; os.link is the
+        # atomic claim (EEXIST if someone else holds it) and only ever
+        # publishes a complete object — a kill anywhere leaves either
+        # no claim or a whole one, never a torn file
+        tmp = self._write_tmp(path, text)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def swap_pointer(self, path: str, text: str) -> None:
+        os.rename(self._write_tmp(path, text), path)  # atomic pointer swap
 
     def list(self, dirpath: str) -> list[str]:
         try:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -204,8 +205,16 @@ class LakeTable:
         snap_path = os.path.join(meta, f"snap-{snap.version:08d}.json")
         payload = snap.to_json()
         if not self.io.create_exclusive(snap_path, payload):
-            existing = Snapshot.from_json(self.io.read_text(snap_path))
-            if not self._same_commit_intent(existing, snap):
+            try:
+                existing = Snapshot.from_json(self.io.read_text(snap_path))
+            except Exception:
+                # torn/empty claim from a crashed foreign writer (our own
+                # IO publishes claims all-or-nothing): nothing durable
+                # depends on it — take over
+                existing = None
+            if existing is not None and not self._same_commit_intent(
+                existing, snap, payload
+            ):
                 raise ConcurrentCommitError(
                     f"snapshot v{snap.version} of {self.root} was claimed by a "
                     f"different commit (theirs: {existing.lineage!r}, "
@@ -215,15 +224,18 @@ class LakeTable:
         self.io.swap_pointer(os.path.join(meta, VERSION_FILE), str(snap.version))
 
     @staticmethod
-    def _same_commit_intent(a: Snapshot, b: Snapshot) -> bool:
+    def _same_commit_intent(a: Snapshot, b: Snapshot, b_payload: str) -> bool:
         """Is an existing claim a crashed attempt of THIS commit? Batch
-        ids identify data commits across retries (file names differ per
-        attempt); metadata-only commits (evolve/truncate/create) retry
-        with identical deterministic lineage."""
+        ids identify data commits across retries (data file names are
+        attempt-unique, so the manifests differ even for the same
+        batch); metadata-only commits (evolve/truncate/create) retry
+        byte-identically, so anything short of full equality there is a
+        different commit (e.g. create() racing a populated table must
+        never reset the pointer)."""
         ba, bb = a.lineage.get("batch_id"), b.lineage.get("batch_id")
         if ba is not None or bb is not None:
             return ba == bb
-        return (a.parent, a.lineage) == (b.parent, b.lineage)
+        return a.to_json() == b_payload
 
     # ---------- reads ----------
 
@@ -260,7 +272,12 @@ class LakeTable:
     # ---------- writes ----------
 
     def _commit_dir(self, version: int, subdir: str | None = None) -> str:
-        return f"data/c{version:08d}" + (f"/{subdir}" if subdir else "")
+        # attempt-unique suffix: a retried or racing writer gets its OWN
+        # directory, so it can never overwrite data files a committed
+        # snapshot references (the losing/crashed attempt's dir is
+        # unreferenced and vacuum GCs it)
+        attempt = uuid.uuid4().hex[:8]
+        return f"data/c{version:08d}-{attempt}" + (f"/{subdir}" if subdir else "")
 
     def write_data_files(
         self,
@@ -285,10 +302,10 @@ class LakeTable:
         if repartition or write_partitions:
             parts = [F.col(BUCKET_COL)] + (write_partitions or [])
             df = df.repartition(*parts)
-        # mode=overwrite: a crash between data write and snapshot commit
-        # leaves an orphan commit dir; the retried batch (same version,
-        # same id) cleans and rewrites it. Committed dirs are never
-        # reused (versions only move forward).
+        # The dir is attempt-unique (see _commit_dir), so this write can
+        # never touch files another snapshot references; a crash between
+        # data write and snapshot commit leaves an unreferenced orphan
+        # dir that vacuum GCs.
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out):

@@ -169,13 +169,25 @@ def apply_fhir_updates(
     (ref, key). Returns the reference's logMetrics counters."""
     from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL, merge_into
 
+    from picsure_dictionary_etl_spark.lake.merge import resolve_live
+
     desc = studies.select(
         "ref",
         F.col("description"),
         F.lit("U").alias(OP_COL),
         F.lit(lsn).cast("long").alias(LSN_COL),
     )
-    r1 = merge_into(
+    # count the datasets that actually MATCH (matched_only drops the
+    # rest) — the reference's logMetrics counts real updates, and this
+    # is a dim-table-sized semi-join, not a scan of anything big
+    snap = dataset_table.current()
+    existing = resolve_live(
+        dataset_table.read(), snap.key_cols,
+        [f.name for f in snap.schema.fields
+         if f.name not in {*snap.key_cols, OP_COL, LSN_COL, "_del_lsn", "_pu"}],
+    ).select(*snap.key_cols)
+    datasets_updated = desc.join(existing, snap.key_cols, "left_semi").count()
+    merge_into(
         dataset_table, desc, f"{batch_id}-desc",
         update_policy="blank_preserve", matched_only=True,
     )
@@ -186,6 +198,6 @@ def apply_fhir_updates(
     )
     r2 = merge_into(metadata_table, meta, f"{batch_id}-meta", update_policy="coalesce")
     return {
-        "datasets_updated": r1.metrics.get("rows_in", 0),
-        "metadata_updated": r2.metrics.get("rows_in", 0),
+        "datasets_updated": datasets_updated,
+        "metadata_updated": r2.metrics.get("winners", 0),
     }

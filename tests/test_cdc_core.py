@@ -164,3 +164,56 @@ def test_conflict_count_lineage(spark, tmp_path):
     )
     m = merge_into(t, ev, "b1").metrics
     assert m["rows_in"] == 3 and m["winners"] == 2 and m["lww_conflicts"] == 1
+
+
+def _one_key_table(spark, tmp_path, name):
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+
+
+def test_cow_delete_of_buckets_last_key_sticks(spark, tmp_path):
+    """Regression (hypothesis-found): a COW batch that deletes a
+    bucket's LAST live key must swap the bucket to an empty file list —
+    the dynamic-partition writer emits no dir for an empty bucket, and
+    a missing replaces entry used to keep the old files alive."""
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+
+    t = _one_key_table(spark, tmp_path, "cowdel")
+    ev = lambda rows: spark.createDataFrame(rows, change_event_schema())  # noqa: E731
+    merge_into(t, ev([(1, "I", "c0", 0, "user", "a", None, None)]), "b0", mode="cow")
+    merge_into(t, ev([(2, "I", "c0", 0, "user", "b", None, None),
+                      (3, "D", "c0", 0, None, None, None, None)]), "b1", mode="cow")
+    live = resolve_live(t.read(), ["conv_id", "turn_idx"],
+                        ["role", "text", "tool", "ts"])
+    assert live.count() == 0
+    assert t.current().files == {}  # the bucket's file list is gone
+
+
+def test_mor_compaction_of_fully_deleted_bucket_sticks(spark, tmp_path):
+    """Same guard on the MOR compaction path: a bucket whose keys all
+    died by compaction time must not resurrect its pre-compaction
+    files when the compacted output is empty."""
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+
+    t = _one_key_table(spark, tmp_path, "mordel")
+    ev = lambda rows: spark.createDataFrame(rows, change_event_schema())  # noqa: E731
+    merge_into(t, ev([(1, "I", "c0", 0, "user", "a", None, None)]), "b0",
+               mode="mor", compact_threshold=2)
+    # tombstone delta + threshold breach in one batch -> compaction of a
+    # bucket that resolves to empty
+    merge_into(t, ev([(2, "D", "c0", 0, None, None, None, None)]), "b1",
+               mode="mor", compact_threshold=1)
+    live = resolve_live(t.read(), ["conv_id", "turn_idx"],
+                        ["role", "text", "tool", "ts"])
+    assert live.count() == 0
+    assert t.current().files == {}

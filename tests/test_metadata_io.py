@@ -142,6 +142,72 @@ def test_crashed_claim_takeover_resumes(spark, tmp_path):
     assert t.watermark() == 1  # the retried commit's props won, not the orphan's
 
 
+def test_torn_claim_is_taken_over(spark, tmp_path):
+    """A zero-byte/torn manifest from a crashed foreign writer must not
+    wedge retries forever: the claim is unreadable, nothing durable
+    depends on it, the next commit takes over."""
+    import os as _os
+
+    root = str(tmp_path / "torn")
+    t = LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=2)
+    with open(_os.path.join(root, "_meta", "snap-00000001.json"), "w"):
+        pass  # torn: zero bytes
+    r = merge_into(t, _events(spark, [
+        (1, "I", "c1", 0, "user", "a", None, None)]), "b1")
+    assert r.snapshot.version == 1 and t.current().version == 1
+
+
+def test_create_over_populated_table_raises(spark, tmp_path):
+    """LakeTable.create on a root that already holds a committed table
+    must raise, never reset the pointer / clobber the v0 manifest."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.table import ConcurrentCommitError
+
+    root = str(tmp_path / "pop")
+    t = LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=2)
+    merge_into(t, _events(spark, [
+        (1, "I", "c1", 0, "user", "a", None, None)]), "b1")
+    with pytest.raises(ConcurrentCommitError):
+        LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=4)  # different layout -> different intent
+    assert t.current().version == 1  # untouched
+
+
+def test_data_dirs_are_attempt_unique(spark, tmp_path):
+    """Two write attempts at the same version land in DIFFERENT dirs, so
+    a racing/crashed attempt can never overwrite files a committed
+    snapshot references; vacuum GCs the orphan."""
+    import os as _os
+
+    root = str(tmp_path / "uniq")
+    t = LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=2)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, None, "I", 1)],
+        transcript_table_schema(),
+    )
+    from picsure_dictionary_etl_spark.lake.table import bucket_expr
+    from pyspark.sql import functions as F
+
+    bucketed = df.withColumn("_bucket", bucket_expr(["conv_id"], 2))
+    f1 = t.write_data_files(bucketed, version=1)   # crashed attempt (orphan)
+    f2 = t.write_data_files(bucketed, version=1)   # retry
+    d1 = {p.split("/")[1] for fl in f1.values() for p in fl}
+    d2 = {p.split("/")[1] for fl in f2.values() for p in fl}
+    assert d1.isdisjoint(d2)
+    t.commit(f2, {}, None, {"batch_id": "b1"})
+    removed = t.vacuum(keep_snapshots=2)["files_removed"]
+    assert removed >= 1  # the orphan attempt's files are GC'd
+    assert t.read().count() == 1  # committed files untouched
+
+
 def test_vacuum_through_metadata_io(spark, tmp_path):
     io = InMemoryMetadataIO()
     t = LakeTable.create(
