@@ -381,6 +381,61 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    # ---------- history / recovery ----------
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit log over the retained snapshots (oldest first) — the
+        Iceberg ``table.history``/``snapshots`` metadata-table analog:
+        version, parent, file/bucket counts, exactly-once properties,
+        and the commit's lineage (batch id, rows, conflicts)."""
+        meta = os.path.join(self.root, META_DIR)
+        out = []
+        for fn in self.io.list(meta):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            try:
+                s = Snapshot.from_json(self.io.read_text(os.path.join(meta, fn)))
+            except Exception:
+                continue  # torn foreign claim; never part of history
+            if s.version > self.current_version():
+                continue  # unswapped claim above the pointer
+            out.append(
+                {
+                    "version": s.version,
+                    "parent": s.parent,
+                    "n_files": len(s.all_files()),
+                    "n_buckets": len(s.files),
+                    "watermark_lsn": s.properties.get("watermark_lsn", -1),
+                    "lineage": s.lineage,
+                }
+            )
+        return sorted(out, key=lambda d: d["version"])
+
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to snapshot ``version`` — as a NEW
+        forward commit cloning the old file list and properties
+        (Iceberg ``rollback_to_snapshot``; history stays append-only,
+        the bad commits remain inspectable until vacuum). The
+        exactly-once bookkeeping reverts with it: the watermark drops
+        to the target's, so replaying the same WAL deterministically
+        re-applies everything after the rollback point — the recovery
+        path for a bad batch."""
+        target = self.snapshot(version)
+        prev = self.current()
+        snap = Snapshot(
+            version=prev.version + 1,
+            parent=prev.version,
+            schema_json=target.schema_json,
+            bucket_count=target.bucket_count,
+            key_cols=target.key_cols,
+            bucket_by=target.bucket_by,
+            files=dict(target.files),
+            properties=dict(target.properties),
+            lineage={"rollback_to": version},
+        )
+        self._write_snapshot(snap)
+        return snap
+
     # ---------- maintenance ----------
 
     def truncate(self, reset_exactly_once: bool = True) -> Snapshot:

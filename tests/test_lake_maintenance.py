@@ -290,3 +290,44 @@ def test_mixed_policy_mor_equals_cow_hypothesis(spark, tmp_path):
             assert got == state, f"mode={m}: {got} != {state}"
 
     check()
+
+
+def test_history_and_rollback_replay(spark, tmp_path):
+    """history() exposes the commit log; rollback() reverts state AND
+    the exactly-once bookkeeping as a forward commit, so replaying the
+    same WAL deterministically re-applies everything after the rollback
+    point — the bad-batch recovery path."""
+    from picsure_dictionary_etl_spark.cdc.generator import change_events
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    events = change_events(spark, 3000, n_convs=20, delete_ratio=0.1)
+    r = CdcRunner(spark, RunnerConfig(table_root=str(tmp_path / "t"), bucket_count=4))
+    r.replay(events, lsn_step=1000)
+
+    hist = r.table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[1]["lineage"]["batch_id"] == "lsn--1-999"
+    assert hist[3]["watermark_lsn"] == 2999
+
+    golden = {
+        (row["conv_id"], row["turn_idx"]): row["text"]
+        for row in r.state().collect()
+    }
+
+    snap = r.table.rollback(1)  # undo batches 2 and 3
+    assert snap.version == 4 and snap.lineage == {"rollback_to": 1}
+    assert r.table.watermark() == 999
+    # state reverted exactly to the version-1 snapshot
+    keys, payload = ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"]
+    assert r.state().count() == resolve_live(r.table.read_version(1), keys, payload).count()
+
+    # deterministic replay from the rolled-back watermark reproduces the
+    # original final state bit-for-bit
+    r.replay(events, lsn_step=1000)
+    assert r.table.watermark() == 2999
+    got = {
+        (row["conv_id"], row["turn_idx"]): row["text"]
+        for row in r.state().collect()
+    }
+    assert got == golden
+    assert r.table.history()[-1]["version"] == 6
