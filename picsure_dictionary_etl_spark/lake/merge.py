@@ -610,6 +610,18 @@ def table_changes(
             policy=snap.properties.get("update_policy", "row"), schema=snap_to.schema,
         )
 
+    return state_diff(live(from_version), live(to_version), keys, payload)
+
+
+def state_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], payload: list[str]
+) -> DataFrame:
+    """Classify the difference between two resolved live states (one
+    row per key, ``_lsn`` carried): one full outer join on the keys,
+    ``_change ∈ I/U/D`` from null-sides and a per-row payload-hash
+    comparison — no window, no collect. The reusable half of
+    :func:`table_changes` (also exposed as a driver-oracled query)."""
+
     def hashed(df: DataFrame, side: str) -> DataFrame:
         h = F.md5(
             F.concat_ws(
@@ -623,7 +635,7 @@ def table_changes(
             h.alias(f"{side}_hash"),
         )
 
-    old, new = hashed(live(from_version), "o"), hashed(live(to_version), "n")
+    old, new = hashed(old, "o"), hashed(new, "n")
     cond = [old[f"o_{k}"] == new[f"n_{k}"] for k in keys]
     joined = old.join(new, cond, "full_outer")
     change = (
