@@ -529,7 +529,9 @@ def _cow_write(
     # missing `replaces` entry would keep the old files — the delete
     # would silently vanish
     replaces = {str(b): [] for b in changed}
-    replaces.update(table.write_data_files(live, version, write_partitions=salt))
+    replaces.update(
+        table.write_data_files(live, version, write_partitions=salt, sort_cols=keys)
+    )
     winners.unpersist()
     return {}, replaces, changed
 
@@ -571,7 +573,9 @@ def _mor_write(
         # its pre-compaction files
         replaces = {str(b): [] for b in to_compact}
         replaces.update(
-            table.write_data_files(live, version, write_partitions=salt, subdir="base")
+            table.write_data_files(
+                live, version, write_partitions=salt, subdir="base", sort_cols=keys
+            )
         )
         for b in to_compact:
             # superseded deltas become unreferenced files (GC'able)

@@ -286,6 +286,7 @@ class LakeTable:
         write_partitions: list[F.Column] | None = None,
         subdir: str | None = None,
         repartition: bool = True,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``_bucket``) as immutable data files for
         commit ``version``; return bucket -> repo-relative file list.
@@ -296,12 +297,19 @@ class LakeTable:
         separates multiple file sets within one commit (delta vs base).
         ``repartition=False`` skips the exchange when the caller already
         hash-partitioned on ``_bucket`` (the single-shuffle MOR path).
+        ``sort_cols`` sorts rows WITHIN each write task before the
+        parquet encode (Iceberg write-ordering): row groups get narrow
+        key min/max stats, so key-filtered scans skip row groups —
+        used by compaction/COW where the sort cost amortizes over many
+        reads (hot-path delta appends stay unsorted).
         """
         rel = self._commit_dir(version, subdir)
         out = os.path.join(self.root, rel)
         if repartition or write_partitions:
             parts = [F.col(BUCKET_COL)] + (write_partitions or [])
             df = df.repartition(*parts)
+        if sort_cols:
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         # The dir is attempt-unique (see _commit_dir), so this write can
         # never touch files another snapshot references; a crash between
         # data write and snapshot commit leaves an unreferenced orphan

@@ -59,3 +59,36 @@ def test_refresh_lifecycle(spark, tmp_path):
     r4 = refresh_concepts(t, mutated, "load-3")
     assert r4.metrics.get("skipped_duplicate_batch")
     assert _live(t).count() == 14
+
+
+def test_compaction_writes_key_sorted_files(spark, tmp_path):
+    """Write-ordering: compacted/COW files are sorted by key within each
+    file, so parquet row-group min/max stats support key skipping."""
+    import pyarrow.parquet as pq
+
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+    rows = [(i + 1, "I", f"c{i % 37}", i % 11, "user", f"t{i}", None, None)
+            for i in range(400)]
+    merge_into(t, spark.createDataFrame(rows, change_event_schema()), "b0",
+               mode="cow")
+    import os
+
+    snap = t.current()
+    for files in snap.files.values():
+        for f in files:
+            tbl = pq.read_table(os.path.join(t.root, f),
+                                columns=["conv_id", "turn_idx"])
+            pairs = list(zip(tbl["conv_id"].to_pylist(),
+                             tbl["turn_idx"].to_pylist()))
+            assert pairs == sorted(pairs), f"{f} not key-sorted"
