@@ -264,6 +264,30 @@ class CdcRunner:
         )
         return live.select(*keys, *payload)
 
+    def conversation(self, conv_id: str) -> DataFrame:
+        """Serving-path point lookup: one conversation's live turns in
+        turn order, reading only the bucket ``conv_id`` hashes to (plus
+        row-group skipping inside it) — never a table scan."""
+        snap = self.table.current()
+        from picsure_dictionary_etl_spark.lake.merge import (
+            _payload_cols,
+            resolve_live,
+        )
+        from pyspark.sql import functions as F
+
+        payload = _payload_cols(snap)
+        raw = self.table.read_keys([conv_id], snap)
+        extras = [c for c in ("_del_lsn", "_pu") if c in raw.columns]
+        raw = raw.select(
+            *snap.key_cols, *payload, F.col("_op"), F.col("_lsn").cast("long"),
+            *[F.col(c) for c in extras],
+        )
+        live = resolve_live(
+            raw, snap.key_cols, payload,
+            policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+        )
+        return live.select(*snap.key_cols, *payload).orderBy("turn_idx")
+
     # ---------- internals ----------
 
     def _maybe_adapt_salt(self, metrics: dict) -> None:

@@ -255,6 +255,37 @@ class LakeTable:
         files = [f for b in bucket_ids for f in snap.files.get(str(b), [])]
         return self._read_files(snap, files)
 
+    def read_keys(
+        self, bucket_key_values: list, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Point-lookup read: raw rows for the given ``bucket_by``
+        values, touching ONLY the buckets they hash to — at 100 TB this
+        reads a handful of bucket directories instead of the table
+        (within each file, key-sorted row groups let parquet skip
+        further). ``bucket_key_values`` is a list of values (single
+        bucket column) or tuples (composite).
+
+        The bucket ids are computed by the same JVM xxhash64 expression
+        the writer used (a bounded collect over len(values) literals),
+        and the final equality filter runs on the pruned scan."""
+        snap = snapshot or self.current()
+        cols = snap.bucket_by
+        vals = [
+            v if isinstance(v, (list, tuple)) else (v,) for v in bucket_key_values
+        ]
+        kdf = self.spark.createDataFrame(
+            vals, T.StructType([snap.schema[c] for c in cols])
+        )
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(
+                bucket_expr(cols, snap.bucket_count).alias("b")
+            ).distinct().collect()
+        )
+        return self.read_buckets(buckets, snap).join(
+            F.broadcast(kdf.distinct()), on=cols, how="left_semi"
+        )
+
     def _read_files(self, snap: Snapshot, rel_files: list[str]) -> DataFrame:
         if not rel_files:
             return self.spark.createDataFrame([], snap.schema)

@@ -331,3 +331,28 @@ def test_history_and_rollback_replay(spark, tmp_path):
     }
     assert got == golden
     assert r.table.history()[-1]["version"] == 6
+
+
+def test_point_lookup_reads_one_bucket(spark, tmp_path):
+    """read_keys / CdcRunner.conversation touch only the bucket the key
+    hashes to — verified against the full-scan answer AND by the scan's
+    input-file set being a strict subset."""
+    events = change_events(spark, 4000, n_convs=40, delete_ratio=0.05)
+    r = CdcRunner(spark, RunnerConfig(table_root=str(tmp_path / "t"),
+                                      bucket_count=16))
+    r.replay(events, lsn_step=2000)
+
+    full = {
+        (row["conv_id"], row["turn_idx"]): row["text"]
+        for row in r.state().collect()
+    }
+    conv = next(iter(sorted({k[0] for k in full})))
+    got = r.conversation(conv).collect()
+    assert [row["turn_idx"] for row in got] == sorted(row["turn_idx"] for row in got)
+    assert {(row["conv_id"], row["turn_idx"]): row["text"] for row in got} == {
+        k: v for k, v in full.items() if k[0] == conv
+    }
+    # pruning: the point lookup reads strictly fewer files than a scan
+    all_files = set(r.table.read().inputFiles())
+    point_files = set(r.table.read_keys([conv]).inputFiles())
+    assert point_files and point_files < all_files
