@@ -282,9 +282,16 @@ class LakeTable:
                 bucket_expr(cols, snap.bucket_count).alias("b")
             ).distinct().collect()
         )
-        return self.read_buckets(buckets, snap).join(
-            F.broadcast(kdf.distinct()), on=cols, how="left_semi"
-        )
+        scan = self.read_buckets(buckets, snap)
+        # per-column In() filters push into the parquet scan, so the
+        # key-sorted row groups inside each bucket file are skipped too
+        # (a semi-join alone never reaches PushedFilters); for composite
+        # bucket keys the exact tuple match follows as a semi-join
+        for i, c in enumerate(cols):
+            scan = scan.filter(F.col(c).isin([v[i] for v in vals]))
+        if len(cols) == 1:
+            return scan
+        return scan.join(F.broadcast(kdf.distinct()), on=cols, how="left_semi")
 
     def _read_files(self, snap: Snapshot, rel_files: list[str]) -> DataFrame:
         if not rel_files:

@@ -141,3 +141,36 @@ def test_mixed_resolve_is_single_shuffle(spark):
     assert_exchange_count(w, 1)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_point_lookup_pushes_key_filter(spark, tmp_path):
+    """read_keys must reach the parquet scan as an In() filter — that's
+    what turns key-sorted row groups into skipped IO, on top of the
+    bucket-level file pruning."""
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=8,
+    )
+    rows = [(i + 1, "I", f"c{i % 20}", i % 7, "user", "x", None, None)
+            for i in range(200)]
+    merge_into(t, spark.createDataFrame(rows, change_event_schema()), "b0")
+    # conv c3 appears at i = 3, 23, 43, ... (10 events) over distinct
+    # turn_idx values i % 7 — LWW keeps one row per (conv, turn) key
+    expect = len({i % 7 for i in range(3, 200, 20)})
+    q = t.read_keys(["c3"])
+    # Catalyst rewrites a 1-value isin to EqualTo; either form must
+    # reach the scan's PushedFilters
+    assert_pushed_filters(q, "EqualTo(conv_id,c3)")
+    assert q.count() == expect
+    q2 = t.read_keys(["c3", "c4"])
+    assert_pushed_filters(q2, "In(conv_id, [c3,c4])")
+    expect2 = expect + len({i % 7 for i in range(4, 200, 20)})
+    assert q2.count() == expect2
