@@ -905,6 +905,40 @@ WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
 """
 
 
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Directed near-superset dedup (round 3): shingle containment
+    |A∩B|/|A| — catches a short document embedded in a longer one,
+    which Jaccard under-scores. Same capped inverted-index plan as
+    dedup_jaccard_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=100
+    )
+
+
+SQL_DEDUP_CONTAINMENT_PAIRS = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, (SELECT unnest(generate_series(1, 10000)) AS i) s
+  WHERE i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id),
+rare AS (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) <= 100),
+gr AS (SELECT g.doc_id, g.shingle FROM grams g JOIN rare USING (shingle)),
+common AS (
+  SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS n_common
+  FROM gr a JOIN gr b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_small, id_big, round(n_common / s.n_shingles, 6) AS containment
+FROM common JOIN sizes s ON s.doc_id = id_small
+WHERE n_common / s.n_shingles >= 0.5
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composed training-data curation pipeline: quality gate (length)
     + near-dup removal (drop the higher-id side of every Jaccard>=0.5
@@ -1604,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_json_hash": q_canonical_json_hash,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_containment_pairs": q_dedup_containment_pairs,
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
@@ -1661,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_json_hash": SQL_CANONICAL_JSON_HASH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "dedup_containment_pairs": SQL_DEDUP_CONTAINMENT_PAIRS,
         "corpus_curation": SQL_CORPUS_CURATION,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_scores": SQL_LANG_SCORES,

@@ -98,6 +98,57 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Directed near-SUPERSET pairs by shingle containment
+    ``|A ∩ B| / |A|`` — the sub-document duplication Jaccard misses: a
+    short doc fully embedded in a long one has tiny Jaccard but
+    containment ~1 (the "contained document" case from the
+    training-data-dedup literature). Same capped inverted-index plan as
+    :func:`jaccard_pairs` (identical shuffle/skew profile); output is
+    directed: ``id_small`` is (nearly) contained in ``id_big``."""
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_shingle_freq:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh_j = sh.join(rare, "shingle")
+    else:
+        sh_j = sh
+    a, b = sh_j.alias("a"), sh_j.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_small"),
+            F.col(f"b.{id_col}").alias("id_big"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ssm = sizes.select(F.col(id_col).alias("id_small"), F.col("n_shingles").alias("n_small"))
+    return (
+        common.join(ssm, "id_small")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_small"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
