@@ -798,6 +798,43 @@ GROUP BY l_returnflag
 """
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling 1-day event-time windows per event_type (the batch twin
+    of streaming/windows.windowed_event_counts — same F.window operator
+    Structured Streaming runs with a watermark): counts plus
+    order-independent min/max of value (double sums are float-order
+    unstable across engines; min/max are exact). Window start projected
+    as unix micros per the oracle timestamp rule."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return w.select(
+        # ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned
+        # UTC (session.py), so the cast is numerically identity
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+    )
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start_us,
+       event_type,
+       count(*) AS n,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_window_latest_k(spark, sf_dir):
     """G/window: latest 3 events per user (the LWW window generalization)."""
     from pyspark.sql import Window
@@ -1627,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiway_join_revenue": q_multiway_join_revenue,
         "key_filtered_join": q_key_filtered_join,
         "window_latest_k": q_window_latest_k,
+        "windowed_event_counts": q_windowed_event_counts,
         "sorted_export": q_sorted_export,
         "distinct_sorted": q_distinct_sorted,
         "count_per_key": q_count_per_key,
@@ -1685,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "multiway_join_revenue": SQL_MULTIWAY_JOIN_REVENUE,
         "key_filtered_join": SQL_KEY_FILTERED_JOIN,
         "window_latest_k": SQL_WINDOW_LATEST_K,
+        "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
         "sorted_export": SQL_SORTED_EXPORT,
         "distinct_sorted": SQL_DISTINCT_SORTED,
         "count_per_key": SQL_COUNT_PER_KEY,
