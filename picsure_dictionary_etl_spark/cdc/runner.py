@@ -271,16 +271,14 @@ class CdcRunner:
         snap = self.table.current()
         from picsure_dictionary_etl_spark.lake.merge import (
             _payload_cols,
+            _read_raw,
             resolve_live,
         )
-        from pyspark.sql import functions as F
 
         payload = _payload_cols(snap)
-        raw = self.table.read_keys([conv_id], snap)
-        extras = [c for c in ("_del_lsn", "_pu") if c in raw.columns]
-        raw = raw.select(
-            *snap.key_cols, *payload, F.col("_op"), F.col("_lsn").cast("long"),
-            *[F.col(c) for c in extras],
+        raw = _read_raw(
+            self.table, snap, snap.key_cols, payload,
+            df=self.table.read_keys([conv_id], snap),
         )
         live = resolve_live(
             raw, snap.key_cols, payload,

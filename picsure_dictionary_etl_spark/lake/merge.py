@@ -458,15 +458,18 @@ def merge_into(
     return MergeResult(snap2, metrics)
 
 
-def _read_raw(table, snap, keys, payload, rel_files=None, bucket_ids=None):
+def _read_raw(table, snap, keys, payload, rel_files=None, bucket_ids=None, df=None):
     """Raw (unresolved) table rows with every system column the schema
-    carries — ``_del_lsn``/``_pu`` null-fill on pre-evolution files."""
+    carries — ``_del_lsn``/``_pu`` null-fill on pre-evolution files.
+    ``df`` lets a caller supply an already-pruned scan (point lookups)
+    and reuse just the system-column projection."""
     extras = _system_extras(snap)
-    df = (
-        table._read_files(snap, rel_files)
-        if rel_files is not None
-        else table.read_buckets(bucket_ids, snap)
-    )
+    if df is None:
+        df = (
+            table._read_files(snap, rel_files)
+            if rel_files is not None
+            else table.read_buckets(bucket_ids, snap)
+        )
     return df.select(
         *keys, *payload, F.col(OP_COL), F.col(LSN_COL).cast("long"),
         *[F.col(c) for c in extras],

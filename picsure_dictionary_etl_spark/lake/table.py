@@ -148,6 +148,15 @@ class LakeTable:
         io: MetadataIO | None = None,
     ) -> "LakeTable":
         t = cls(spark, root, io=io)
+        if cls.exists(root, io=t.io):
+            # the pointer is the source of truth: creating over a live
+            # table would un-publish every committed snapshot (reset
+            # watermark + applied batches, orphan all data files) —
+            # callers wanting a fresh start use truncate()
+            raise ConcurrentCommitError(
+                f"table already exists at {t.root} (VERSION pointer present); "
+                "load() it, or truncate() for a clean slate"
+            )
         t.io.makedirs(os.path.join(t.root, META_DIR))
         snap = Snapshot(
             version=0,
@@ -435,6 +444,7 @@ class LakeTable:
         version, parent, file/bucket counts, exactly-once properties,
         and the commit's lineage (batch id, rows, conflicts)."""
         meta = os.path.join(self.root, META_DIR)
+        current = self.current_version()
         out = []
         for fn in self.io.list(meta):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
@@ -443,7 +453,7 @@ class LakeTable:
                 s = Snapshot.from_json(self.io.read_text(os.path.join(meta, fn)))
             except Exception:
                 continue  # torn foreign claim; never part of history
-            if s.version > self.current_version():
+            if s.version > current:
                 continue  # unswapped claim above the pointer
             out.append(
                 {

@@ -169,7 +169,7 @@ def apply_fhir_updates(
     (ref, key). Returns the reference's logMetrics counters."""
     from picsure_dictionary_etl_spark.lake.merge import LSN_COL, OP_COL, merge_into
 
-    from picsure_dictionary_etl_spark.lake.merge import resolve_live
+    from picsure_dictionary_etl_spark.lake.merge import _payload_cols, resolve_live
 
     desc = studies.select(
         "ref",
@@ -177,20 +177,23 @@ def apply_fhir_updates(
         F.lit("U").alias(OP_COL),
         F.lit(lsn).cast("long").alias(LSN_COL),
     )
-    # count the datasets that actually MATCH (matched_only drops the
-    # rest) — the reference's logMetrics counts real updates, and this
-    # is a dim-table-sized semi-join, not a scan of anything big
+    # count the DISTINCT datasets that actually match (matched_only
+    # drops the rest; the reference's logMetrics adds each existing
+    # refId to a set) — a dim-table-sized semi-join, not a big scan
     snap = dataset_table.current()
     existing = resolve_live(
-        dataset_table.read(), snap.key_cols,
-        [f.name for f in snap.schema.fields
-         if f.name not in {*snap.key_cols, OP_COL, LSN_COL, "_del_lsn", "_pu"}],
+        dataset_table.read(), snap.key_cols, _payload_cols(snap)
     ).select(*snap.key_cols)
-    datasets_updated = desc.join(existing, snap.key_cols, "left_semi").count()
-    merge_into(
+    datasets_updated = (
+        desc.join(existing, snap.key_cols, "left_semi")
+        .select(*snap.key_cols).distinct().count()
+    )
+    r1 = merge_into(
         dataset_table, desc, f"{batch_id}-desc",
         update_policy="blank_preserve", matched_only=True,
     )
+    if r1.metrics.get("skipped_duplicate_batch"):
+        datasets_updated = 0  # redelivery is a committed no-op
     meta = dataset_metadata_updates(studies, url_to_key_map).select(
         "ref", "key", "value",
         F.lit("U").alias(OP_COL),

@@ -125,3 +125,44 @@ def test_update_only_merge_against_lake_tables(spark, tmp_path):
     # existing row updated, new (ref,key) inserted (add-or-update)
     assert live_md == {("phs000001", "focus"): "oncology",
                        ("other-study", "design"): "cohort"}
+
+
+def test_fhir_metrics_accurate_and_redelivery_is_zero(spark, tmp_path):
+    """datasets_updated counts DISTINCT matched datasets (the
+    reference's set semantics); a redelivered batch id reports 0."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    ds_schema = T.StructType([
+        T.StructField("ref", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    md_schema = T.StructType([
+        T.StructField("ref", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    ds = LakeTable.create(spark, str(tmp_path / "ds2"), schema=ds_schema,
+                          key_cols=["ref"], bucket_count=2)
+    md = LakeTable.create(spark, str(tmp_path / "md2"), schema=md_schema,
+                          key_cols=["ref", "key"], bucket_by=["ref"],
+                          bucket_count=2)
+    merge_into(ds, spark.createDataFrame(
+        [("phs000001", "d", "I", 1)], ds_schema), "seed")
+
+    studies = fhir.research_studies_df(
+        spark,
+        fhir.fetch_research_studies("https://fhir/rs", fetch_page=_fetch([])),
+    )
+    m1 = fhir.apply_fhir_updates(ds, md, studies, URL_TO_KEY, "f1", lsn=10)
+    # only phs000001 exists; phs000002/other-study are unmatched
+    assert m1["datasets_updated"] == 1
+    assert m1["metadata_updated"] == 2  # focus + design rows
+    m2 = fhir.apply_fhir_updates(ds, md, studies, URL_TO_KEY, "f1", lsn=10)
+    assert m2 == {"datasets_updated": 0, "metadata_updated": 0}

@@ -179,6 +179,29 @@ def test_create_over_populated_table_raises(spark, tmp_path):
     assert t.current().version == 1  # untouched
 
 
+def test_create_over_vacuumed_table_still_raises(spark, tmp_path):
+    """The guard must hold on the POINTER, not the v0 manifest: after
+    vacuum() removes snap-0, a create with a different layout used to
+    claim v0 successfully and reset the pointer."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.table import ConcurrentCommitError
+
+    root = str(tmp_path / "vac")
+    t = LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=2)
+    for i in range(3):
+        merge_into(t, _events(spark, [
+            (i + 1, "I", f"c{i}", 0, "user", "x", None, None)]), f"b{i}")
+    t.vacuum(keep_snapshots=2)  # snap-0 manifest is gone
+    with pytest.raises(ConcurrentCommitError):
+        LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=8)
+    assert t.current().version == 3
+
+
 def test_data_dirs_are_attempt_unique(spark, tmp_path):
     """Two write attempts at the same version land in DIFFERENT dirs, so
     a racing/crashed attempt can never overwrite files a committed
