@@ -188,3 +188,58 @@ def test_cdf_across_schema_evolution(spark, tmp_path):
     changes = {(r["conv_id"], r["turn_idx"]): (r["_change"], r["model"])
                for r in table_changes(t, v1, v2).collect()}
     assert changes == {("c1", 0): ("U", "m-1")}
+
+
+def test_state_diff_patch_property(spark):
+    """Property: applying state_diff(old, new) to old AS A PATCH
+    (I/U upsert, D delete) reproduces new exactly — the contract an
+    incremental downstream consumer relies on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.lake.merge import (
+        OP_COL,
+        lww_winners,
+        state_diff,
+    )
+    from pyspark.sql import functions as F
+
+    event = st.tuples(
+        st.integers(0, 2), st.integers(0, 2),
+        st.sampled_from(["I", "U", "D"]),
+        st.text(alphabet="ab", max_size=3),
+    )
+
+    def live(rows):
+        df = spark.createDataFrame(rows, change_event_schema())
+        return lww_winners(
+            df, ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"]
+        ).filter(F.col(OP_COL) != "D")
+
+    @given(st.lists(event, min_size=1, max_size=10),
+           st.lists(event, min_size=0, max_size=10))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(seq1, seq2):
+        rows1 = [(i, op, f"c{c}", t, "user", txt, None, None)
+                 for i, (c, t, op, txt) in enumerate(seq1)]
+        rows2 = rows1 + [
+            (len(rows1) + i, op, f"c{c}", t, "user", txt, None, None)
+            for i, (c, t, op, txt) in enumerate(seq2)
+        ]
+        old_df, new_df = live(rows1), live(rows2)
+        keys, payload = ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"]
+        diff = state_diff(old_df, new_df, keys, payload).collect()
+        old = {(r["conv_id"], r["turn_idx"]): r["text"] for r in old_df.collect()}
+        new = {(r["conv_id"], r["turn_idx"]): r["text"] for r in new_df.collect()}
+        patched = dict(old)
+        for r in diff:
+            k = (r["conv_id"], r["turn_idx"])
+            if r["_change"] == "D":
+                patched.pop(k)  # KeyError = bogus delete
+            else:
+                patched[k] = r["text"]
+        assert patched == new
+
+    check()
