@@ -117,3 +117,32 @@ def test_auto_vacuum_bounds_disk(spark, tmp_path):
     assert set(snap.all_files()) <= on_disk  # nothing referenced is missing
     assert runner.state().count() > 0
     assert runner.watermark() == 3999
+
+
+def test_auto_combine_first_engages_on_duplicate_storm(spark, tmp_path):
+    """The hot-KEY storm signal auto-salt can't see: duplicate factor
+    rows_in/winners from the conflict lineage flips the NEXT batch to
+    the map-side combine-first plan, and flips back when it subsides."""
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "t"), bucket_count=4, normalize=False,
+        auto_combine_first=True, auto_salt_min_rows=100))
+    # batch 1: a 10x-duplicate storm on one key
+    storm = [(i + 1, "U", "hot", 0, "user", f"v{i}", None, None)
+             for i in range(900)] + [
+        (1000 + i, "I", f"c{i}", 0, "user", "x", None, None) for i in range(100)
+    ]
+    m1 = r.apply_batch(
+        spark.createDataFrame(storm, change_event_schema()), "b1").metrics
+    assert m1["lww_conflicts"] >= 899
+    assert r._auto_combine_active is True  # engaged for the NEXT batch
+
+    # batch 2 runs combine-first (lineage records it), but is well-spread
+    spread = [(2000 + i, "I", f"d{i}", 0, "user", "y", None, None)
+              for i in range(200)]
+    m2 = r.apply_batch(
+        spark.createDataFrame(spread, change_event_schema()), "b2").metrics
+    assert m2["combine_first"] is True
+    assert r._auto_combine_active is None  # storm subsided: back to 1-shuffle
