@@ -152,24 +152,22 @@ class CdcRunner:
         # (pure, per-row) normalize runs AFTER the LWW reduce, over
         # winners only: the vectorized-UDF volume drops by the duplicate
         # factor at identical final state.
-        dead_obs = None
-        if not self.config.dead_letter_dir:
-            # no DLQ sink configured: still count drops in lineage via an
-            # in-plan observation (no extra job) — malformed rows must
-            # never vanish silently (reference: error registry always on,
-            # loading/ColumnMetaErrorWriter.java:21-38)
-            from pyspark.sql import Observation
-            from pyspark.sql import functions as F
+        # Drop counts ride an in-plan observation (no extra job, no
+        # local-only footer reads — works for URI DLQ dirs too):
+        # malformed rows must never vanish silently (reference: error
+        # registry always on, loading/ColumnMetaErrorWriter.java:21-38)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
 
-            from picsure_dictionary_etl_spark.cdc.normalize import valid_event_pred
+        from picsure_dictionary_etl_spark.cdc.normalize import valid_event_pred
 
-            dead_obs = Observation(f"dead-{batch_id}")
-            events = events.observe(
-                dead_obs,
-                F.sum(
-                    F.when(~F.coalesce(valid_event_pred(), F.lit(False)), 1).otherwise(0)
-                ).alias("dead_rows"),
-            )
+        dead_obs = Observation(f"dead-{batch_id}")
+        events = events.observe(
+            dead_obs,
+            F.sum(
+                F.when(~F.coalesce(valid_event_pred(), F.lit(False)), 1).otherwise(0)
+            ).alias("dead_rows"),
+        )
         valid, dead = split_dead_letter(events)
 
         dead_rows = 0
@@ -178,13 +176,6 @@ class CdcRunner:
             # Dead letters are written before the commit; on a replayed
             # batch the overwrite keeps them exactly-once per batch id.
             dead.write.mode("overwrite").parquet(dl_path)
-            import pyarrow.parquet as pq
-
-            dead_rows = sum(
-                pq.ParquetFile(os.path.join(dl_path, f)).metadata.num_rows
-                for f in os.listdir(dl_path)
-                if f.endswith(".parquet")
-            )
 
         salt = self.config.salt_partitions or self._auto_salt_active
         result = merge_into(

@@ -12,16 +12,20 @@ Cluster usage (the deployment path the engine is designed for)::
         --lsn-step 100000000 --bucket-count 1024
 
 ``--events`` can be any Spark-readable URI (s3/hdfs/file). ``--table``
-must still be a driver-accessible POSIX path (local disk or a shared
-NFS/EFS mount): the DATA plane — output-dir listing, parquet-footer
-lineage, vacuum's walk — uses driver-local file IO. What IS pluggable
-is the COMMIT POINT: snapshot manifests and the VERSION pointer go
-through ``MetadataIO`` (``lake/metadata_io.py``; POSIX atomic-rename
-default, catalog/conditional-PUT implementations via
-``RunnerConfig(metadata_io=...)``, exercised against a non-POSIX test
-double in ``tests/test_metadata_io.py``). A pure object-store table
-root additionally needs the data-plane listing moved onto the Hadoop
-filesystem API — the one remaining integration seam.
+accepts a plain POSIX path (local disk or shared NFS/EFS — the fast
+path) OR a URI root: the DATA plane (data-file writes, output-dir
+listing, vacuum's GC walk) then runs through the session JVM's Hadoop
+FileSystem — the same layer the executors write Parquet through, so
+any scheme Spark can write (``file:``/``hdfs:``/``s3a:`` with the
+connector jars) works; ``file:`` URIs are exercised end-to-end in
+``tests/test_uri_root.py``. The COMMIT POINT (snapshot manifests +
+VERSION pointer) goes through ``MetadataIO`` (``lake/metadata_io.py``):
+POSIX atomic-rename serves local and ``file:`` roots; a true
+object-store root injects a catalog/conditional-PUT implementation via
+``RunnerConfig(metadata_io=...)`` (non-POSIX test double in
+``tests/test_metadata_io.py``). Footer-derived lineage (per-bucket row
+counts, the auto-salt signal) is local-only and degrades to in-plan
+winner counts on URI roots.
 
 Local sandbox usage::
 

@@ -435,7 +435,7 @@ def merge_into(
         "buckets_touched": len(changed),
         "buckets_compacted": compacted if mode == "mor" else changed,
         "buckets_total": snap.bucket_count,
-        "rows_written": sum(per_bucket.values()),
+        "rows_written": sum(per_bucket.values()) if per_bucket else winners_n,
         "per_bucket_rows": per_bucket,
         "winners": winners_n,
         "lww_conflicts": max(0, (m.get("rows_in") or 0) - winners_n),
@@ -708,7 +708,14 @@ def iceberg_merge_sql(
 
 def _bucket_row_counts(table: LakeTable, bucket_files: dict[str, list[str]]) -> dict[str, int]:
     """Per-partition rows-applied lineage, read from Parquet footers —
-    metadata-only, no extra Spark job."""
+    metadata-only, no extra Spark job. URI roots (Hadoop data plane)
+    skip the footer reads and return {} — lineage then falls back to
+    the in-plan winner count and auto-salt's per-bucket signal is
+    unavailable (documented in RunnerConfig)."""
+    from picsure_dictionary_etl_spark.lake.fs import is_uri
+
+    if is_uri(table.root):
+        return {}
     import pyarrow.parquet as pq
 
     counts: dict[str, int] = {}

@@ -82,16 +82,33 @@ class PosixMetadataIO(MetadataIO):
 
     ``swap_pointer`` = fsync'd temp file + ``os.rename`` — atomic on
     POSIX filesystems, the same primitive single-node Iceberg
-    HadoopTables uses for ``version-hint.text``."""
+    HadoopTables uses for ``version-hint.text``. ``file:`` URIs (the
+    Hadoop local scheme a URI-rooted table uses for its data plane)
+    are accepted and mapped to their local path; any other scheme
+    needs a real object-store/catalog implementation injected."""
+
+    @staticmethod
+    def _local(path: str) -> str:
+        if path.startswith("file:"):
+            rest = path[len("file:"):]
+            while rest.startswith("//"):
+                rest = rest[1:]
+            return rest
+        if "://" in path.split("/", 1)[0]:
+            raise ValueError(
+                f"PosixMetadataIO cannot serve {path!r}; inject an "
+                "object-store/catalog MetadataIO for non-local roots"
+            )
+        return path
 
     def makedirs(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._local(path), exist_ok=True)
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(self._local(path))
 
     def read_text(self, path: str) -> str:
-        with open(path) as f:
+        with open(self._local(path)) as f:
             return f.read()
 
     def _write_tmp(self, path: str, text: str) -> str:
@@ -106,6 +123,7 @@ class PosixMetadataIO(MetadataIO):
     def write_atomic(self, path: str, text: str) -> None:
         # fsync'd temp + rename: a crash mid-write can never leave the
         # object torn (readers see old-or-new, matching the contract)
+        path = self._local(path)
         os.rename(self._write_tmp(path, text), path)
 
     def create_exclusive(self, path: str, text: str) -> bool:
@@ -113,6 +131,7 @@ class PosixMetadataIO(MetadataIO):
         # atomic claim (EEXIST if someone else holds it) and only ever
         # publishes a complete object — a kill anywhere leaves either
         # no claim or a whole one, never a torn file
+        path = self._local(path)
         tmp = self._write_tmp(path, text)
         try:
             os.link(tmp, path)
@@ -123,16 +142,17 @@ class PosixMetadataIO(MetadataIO):
             os.remove(tmp)
 
     def swap_pointer(self, path: str, text: str) -> None:
+        path = self._local(path)
         os.rename(self._write_tmp(path, text), path)  # atomic pointer swap
 
     def list(self, dirpath: str) -> list[str]:
         try:
-            return sorted(os.listdir(dirpath))
+            return sorted(os.listdir(self._local(dirpath)))
         except FileNotFoundError:
             return []
 
     def remove(self, path: str) -> None:
-        os.remove(path)
+        os.remove(self._local(path))
 
 
 class InMemoryMetadataIO(MetadataIO):

@@ -129,8 +129,14 @@ class LakeTable:
     """Handle to one snapshot-committed table rooted at ``root``."""
 
     def __init__(self, spark: SparkSession, root: str, io: MetadataIO | None = None):
+        from picsure_dictionary_etl_spark.lake.fs import data_fs, is_uri
+
         self.spark = spark
-        self.root = os.path.abspath(root)
+        # URI roots (file:/hdfs:/s3a:/...) pass through verbatim — the
+        # data plane then runs on Hadoop FS (lake/fs.py); plain local
+        # paths take the POSIX fast path
+        self.root = root.rstrip("/") if is_uri(root) else os.path.abspath(root)
+        self.fs = data_fs(spark, self.root)
         self.io = io or PosixMetadataIO()
 
     # ---------- creation / loading ----------
@@ -179,8 +185,11 @@ class LakeTable:
 
     @staticmethod
     def exists(root: str, io: MetadataIO | None = None) -> bool:
+        from picsure_dictionary_etl_spark.lake.fs import is_uri
+
+        base = root.rstrip("/") if is_uri(root) else os.path.abspath(root)
         return (io or PosixMetadataIO()).exists(
-            os.path.join(os.path.abspath(root), META_DIR, VERSION_FILE)
+            os.path.join(base, META_DIR, VERSION_FILE)
         )
 
     # ---------- snapshot IO (all through self.io, the commit point) ----------
@@ -363,13 +372,15 @@ class LakeTable:
         # dir that vacuum GCs.
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
         files: dict[str, list[str]] = {}
-        for entry in os.listdir(out):
+        for entry in self.fs.list_names(out):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = entry.split("=", 1)[1]
             bdir = os.path.join(out, entry)
             files[b] = sorted(
-                f"{rel}/{entry}/{fn}" for fn in os.listdir(bdir) if fn.endswith(".parquet")
+                f"{rel}/{entry}/{fn}"
+                for fn in self.fs.list_names(bdir)
+                if fn.endswith(".parquet")
             )
         return files
 
@@ -537,30 +548,43 @@ class LakeTable:
         for v in kept_versions:
             referenced.update(self.snapshot(v).all_files())
         removed = 0
-        # Data-file GC walks the data plane directly (Spark wrote these
-        # files; at a cluster deployment this walk is a Hadoop-FS /
-        # object-store LIST over the same prefix).
+        # Data-file GC lists the data plane through self.fs — the POSIX
+        # fast path locally, Hadoop FS (the layer Spark wrote through)
+        # for URI roots.
         data_root = os.path.join(self.root, "data")
-        if os.path.isdir(data_root):
-            for dirpath, _dirs, files in os.walk(data_root, topdown=False):
-                for fn in files:
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, self.root)
-                    if fn.endswith(".parquet") and rel not in referenced:
-                        os.remove(full)
-                        removed += 1
-                    elif not fn.endswith(".parquet"):
-                        # writer side-files (_SUCCESS, .crc) are never referenced
-                        os.remove(full)
-                try:
-                    os.rmdir(dirpath)  # prune now-empty dirs
-                except OSError:
-                    pass
+        for full in self.fs.list_files_recursive(data_root):
+            rel = self._rel(full)
+            if rel is None:
+                continue
+            if full.endswith(".parquet") and rel not in referenced:
+                self.fs.delete(full)
+                removed += 1
+            elif not full.endswith(".parquet"):
+                # writer side-files (_SUCCESS, .crc) are never referenced
+                self.fs.delete(full)
+        self.fs.cleanup_empty_dirs(data_root)
         meta = os.path.join(self.root, META_DIR)
         for fn in self.io.list(meta):
             if fn.startswith("snap-") and int(fn[5:13]) not in kept_versions:
                 self.io.remove(os.path.join(meta, fn))
         return {"files_removed": removed, "snapshots_kept": len(kept_versions)}
+
+    def _rel(self, full: str) -> str | None:
+        """Repo-relative path of an absolute data-plane path, tolerant
+        of Hadoop's URI normalization (file:///x vs file:/x)."""
+        candidates = [self.root]
+        if self.root.startswith("file:"):
+            local = self.root[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+            candidates += [f"file:{local}", f"file://{local}", f"file:///{local.lstrip('/')}", local]
+        for cand in candidates:
+            if full.startswith(cand + "/"):
+                return full[len(cand) + 1:]
+        try:
+            return os.path.relpath(full, self.root)
+        except ValueError:
+            return None
 
     # ---------- exactly-once bookkeeping ----------
 
