@@ -130,13 +130,21 @@ def resolve_live(
     (or had) field-wise deltas, and resolution runs the MIXED field-wise
     reduce — full rows (``_pu`` null/false: compacted bases, row-policy
     deltas) specify *every* field at their LSN, nulls included, while
-    partial rows contribute only the fields they specified. One
-    aggregate, still map-side combinable; ``policy`` selects the
-    blank-vs-null specification rule for the partial rows."""
+    partial rows contribute only the fields they specified.
+
+    Specification at READ time is always null-based (coalesce): the
+    blank-vs-null rule is a BATCH-REDUCE-time policy — a
+    ``blank_preserve`` batch nulls its blanks before they're ever
+    stored, so a blank string found in a stored partial delta was
+    SPECIFIED by a coalesce batch and must stay specified even if the
+    table's latest batch policy is blank_preserve (otherwise an older
+    value resurrects over the committed blank). ``policy`` stays in the
+    signature for callers that thread table properties through; it no
+    longer alters the read-time rule."""
     if PU_COL in df.columns:
         out = lww_winners_fieldwise(
             df, key_cols, payload_cols,
-            policy=(policy if policy != "row" else "coalesce"),
+            policy="coalesce",
             schema=schema, full_row_col=PU_COL,
         )
         return out.filter(F.col(OP_COL) != OP_DELETE).drop(DEL_LSN_COL)

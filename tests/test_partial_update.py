@@ -327,6 +327,35 @@ def test_fieldwise_with_additive_schema_evolution(spark, tmp_path):
         "user", "hello", "cli", TS1)
 
 
+def test_blank_stored_by_coalesce_survives_policy_flip(spark, tmp_path):
+    """Blank-ness is a batch-reduce-time rule: a blank string a
+    COALESCE batch committed must stay committed when a later
+    blank_preserve batch flips the table's latest policy — read-time
+    specification is null-based, so the stored '' never reads as
+    'unspecified' (which would resurrect the pre-blank value)."""
+    t = _table(spark, tmp_path)
+    _seed(spark, t)  # (c1,0).text == "hello" via a full row
+    merge_into(
+        t,
+        _events(spark, [(3, "U", "c1", 0, None, "", None, None)]),
+        "blank-it",
+        update_policy="coalesce",  # '' IS specified under coalesce
+        mode="mor",
+    )
+    assert _state(t)[("c1", 0)][1] == ""
+    # a blank_preserve batch elsewhere flips the table's latest policy
+    merge_into(
+        t,
+        _events(spark, [(4, "U", "c1", 1, None, None, "calc", None)]),
+        "other-key",
+        update_policy="blank_preserve",
+        mode="mor",
+    )
+    s = _state(t)
+    assert s[("c1", 0)][1] == "", "committed blank resurrected to the older value"
+    assert s[("c1", 1)][2] == "calc"
+
+
 def test_iceberg_merge_sql_rendering():
     """The documented Iceberg integration seam renders the exact
     statement for each policy."""
