@@ -16,3 +16,20 @@ semantics, and no per-row Python anywhere on the hot path.
 __version__ = "0.1.0"
 
 from picsure_dictionary_etl_spark.session import get_spark  # noqa: F401
+from picsure_dictionary_etl_spark.lake.table import (  # noqa: F401,E402
+    ConcurrentCommitError,
+    LakeTable,
+    Snapshot,
+)
+from picsure_dictionary_etl_spark.lake.merge import (  # noqa: F401,E402
+    MergeResult,
+    merge_into,
+    resolve_live,
+    state_diff,
+    table_changes,
+)
+from picsure_dictionary_etl_spark.lake.metadata_io import (  # noqa: F401,E402
+    InMemoryMetadataIO,
+    MetadataIO,
+    PosixMetadataIO,
+)
