@@ -67,3 +67,28 @@ def test_file_uri_vacuum_gc(spark, tmp_path):
         referenced.update(r.table.snapshot(v).all_files())
     assert on_disk <= referenced
     assert all(f.endswith(".parquet") for f in on_disk)  # side-files GC'd
+
+
+def test_file_uri_fieldwise_partial_updates(spark, tmp_path):
+    """Field-wise MOR deltas (schema evolution + _pu tagging +
+    compaction) through the Hadoop data plane on a file: root."""
+    root = f"file:{tmp_path}/pu"
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False, update_policy="coalesce",
+                                      compact_threshold=2))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", "cli", None)]), "seed")
+    for i, patch in enumerate([
+        (2, "U", "c1", 0, None, "e1", None, None),
+        (3, "U", "c1", 0, "adm", None, None, None),
+        (4, "U", "c1", 0, None, None, "web", None),
+    ]):
+        r.apply_batch(_ev(spark, [patch]), f"p{i}")
+    row = r.state().collect()[0]
+    assert (row["role"], row["text"], row["tool"]) == ("adm", "e1", "web")
+    # compaction ran through the URI listing (threshold 2, 4 commits)
+    assert any(
+        r.table.snapshot(v).lineage.get("buckets_compacted")
+        for v in range(2, r.table.current_version() + 1)
+        if r.table.snapshot(v).lineage
+    )
