@@ -449,9 +449,11 @@ WITH ev AS (
          arg_max(op, lsn) AS op,
          max(lsn) AS last_lsn,
          arg_max(event_type,
-                 CASE WHEN event_type IS NOT NULL AND trim(event_type) <> ''
+                 CASE WHEN event_type IS NOT NULL
+                       AND regexp_replace(event_type, '\\s', '', 'g') <> ''
                       THEN lsn END) AS et,
-         max(CASE WHEN event_type IS NOT NULL AND trim(event_type) <> ''
+         max(CASE WHEN event_type IS NOT NULL
+                   AND regexp_replace(event_type, '\\s', '', 'g') <> ''
                   THEN lsn END) AS et_lsn,
          arg_max(value, CASE WHEN value IS NOT NULL THEN lsn END) AS v,
          max(CASE WHEN value IS NOT NULL THEN lsn END) AS v_lsn

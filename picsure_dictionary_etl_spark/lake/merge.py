@@ -107,13 +107,34 @@ def lww_winners(
     ``carry_cols`` are key-functional columns (e.g. the bucket id)
     added to the groupBy so an existing partitioning on them satisfies
     the aggregate's distribution — Catalyst then skips the exchange.
+
+    Ties on ``_lsn`` (a source stamping one LSN per multi-statement
+    transaction) break deterministically by a payload hash
+    (:func:`_lsn_order`), so replay/resume reproduces the identical
+    winner regardless of shuffle encounter order. Equal-LSN events must
+    arrive in the SAME batch — the watermark guard treats an LSN at or
+    below the committed watermark as already applied (the source must
+    not split a transaction across batch boundaries, the standard CDC
+    batching contract).
     """
     carry = carry_cols or []
-    winner = F.max_by(F.struct(*payload_cols, OP_COL), F.col(LSN_COL)).alias("_w")
+    winner = F.max_by(
+        F.struct(*payload_cols, OP_COL), _lsn_order(payload_cols)
+    ).alias("_w")
     out = source.groupBy(*carry, *key_cols).agg(winner, F.max(LSN_COL).alias(LSN_COL))
     return out.select(*carry, *key_cols,
                       *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
                       F.col(f"_w.{OP_COL}").alias(OP_COL), LSN_COL)
+
+
+def _lsn_order(payload_cols: list[str]) -> F.Column:
+    """Deterministic LWW ordering key: (lsn, payload hash). The hash
+    term only matters on equal-LSN ties, where it picks the same winner
+    on every run/replay — content-determined, never encounter-order."""
+    return F.struct(
+        F.col(LSN_COL).alias("l"),
+        F.xxhash64(*payload_cols, OP_COL).alias("t"),
+    )
 
 
 def resolve_live(
@@ -155,11 +176,13 @@ def _specified(c: F.Column, dtype, policy: str) -> F.Column:
     """Is this source field 'provided'? ``coalesce`` (D7): non-null.
     ``blank_preserve`` (D6): non-null and non-blank for strings — the
     reference's ``defaultIfBlank``/``isNotBlank`` update guards
-    (``facet/FacetLoaderService.java:168-174,285-286``)."""
+    (``facet/FacetLoaderService.java:168-174,285-286``). Blank means
+    ALL-whitespace (Java ``isBlank``), not just spaces — ``F.trim``
+    strips only ' ', so tab/newline-only strings need the regex."""
     from pyspark.sql import types as T
 
     if policy == "blank_preserve" and isinstance(dtype, T.StringType):
-        return c.isNotNull() & (F.trim(c) != "")
+        return c.isNotNull() & (F.regexp_replace(c, r"\s", "") != "")
     return c.isNotNull()
 
 
@@ -206,13 +229,14 @@ def lww_winners_fieldwise(
     is_full = (
         ~F.coalesce(F.col(full_row_col), F.lit(False)) if full_row_col else None
     )
+    lsn_ord = _lsn_order(payload_cols)  # deterministic equal-LSN tie-break
     aggs = []
     for c in payload_cols:
         dtype = schema[c].dataType if schema is not None else None
         spec = _specified(F.col(c), dtype, policy)
-        order = F.when(spec, F.col(LSN_COL))
+        order = F.when(spec, lsn_ord)
         if is_full is not None:
-            order = F.when(is_full, F.col(LSN_COL)).otherwise(order)
+            order = F.when(is_full, lsn_ord).otherwise(order)
         aggs.append(
             F.max_by(
                 F.struct(F.col(LSN_COL).alias("l"), F.col(c).alias("v")),
@@ -227,7 +251,7 @@ def lww_winners_fieldwise(
         else F.when(F.col(OP_COL) == OP_DELETE, F.col(LSN_COL))
     )
     aggs.append(F.max(del_in).alias(DEL_LSN_COL))
-    aggs.append(F.max_by(F.col(OP_COL), F.col(LSN_COL)).alias(OP_COL))
+    aggs.append(F.max_by(F.col(OP_COL), lsn_ord).alias(OP_COL))
     aggs.append(F.max(LSN_COL).alias(LSN_COL))
     g = source.groupBy(*carry, *key_cols).agg(*aggs)
     live_field = lambda c: F.when(  # noqa: E731
@@ -311,15 +335,18 @@ def merge_into(
       winners, and the write repartitions winners onto (bucket, salt).
       Two shuffles, but both skew-proof and the second is winner-sized.
     """
-    if batch_id in table.applied_batch_ids():
-        return MergeResult(table.current(), {"batch_id": batch_id, "skipped_duplicate_batch": True})
+    # ONE manifest read serves the whole merge (single-writer
+    # discipline: it cannot change underneath us) — the applied-batch
+    # check, watermark, schema, and the final commit all derive from
+    # this snapshot instead of five VERSION+manifest round trips.
+    snap = table.current()
+    if batch_id in set(snap.properties.get("applied_batches", [])):
+        return MergeResult(snap, {"batch_id": batch_id, "skipped_duplicate_batch": True})
 
     if update_policy not in ("row", "coalesce", "blank_preserve"):
         raise ValueError(f"unknown update_policy {update_policy!r}")
     if matched_only:
         mode = "cow"
-
-    snap = table.current()
     if update_policy != "row" and mode == "mor":
         # field-wise deltas persist the delete boundary and the partial
         # marker; additive, metadata-only, idempotent
@@ -356,7 +383,7 @@ def merge_into(
         F.col(LSN_COL).cast("long"),
     )
 
-    wm_prev = table.watermark()
+    wm_prev = int(snap.properties.get("watermark_lsn", -1))
     if wm_prev >= 0:
         aligned = aligned.filter(F.col(LSN_COL) > F.lit(wm_prev))
 
@@ -386,17 +413,29 @@ def merge_into(
         bucketed = bucketed.repartition(F.col(BUCKET_COL))
     if update_policy == "row":
         winners = lww_winners(bucketed, keys, payload, carry_cols=[BUCKET_COL])
+        if post_reduce_transform is not None:
+            # Normalization is per-row pure and key/LSN-preserving, so
+            # it commutes with whole-ROW LWW — running it on winners
+            # (not raw events) cuts the vectorized-UDF volume by the
+            # duplicate factor.
+            winners = post_reduce_transform(winners)
     else:
+        # Field-wise reduces do NOT commute with normalization: a field
+        # the normalizer maps to null (sentinels, control-char-only
+        # text) must read as null BEFORE specification is decided, or
+        # the winner stores a value-then-nulled field as 'unspecified'
+        # and shadows an earlier specified value. Normalize the raw
+        # events here and pay the duplicate factor — partial-update
+        # streams are update-heavy, not duplicate-heavy.
+        src = (
+            post_reduce_transform(bucketed)
+            if post_reduce_transform is not None
+            else bucketed
+        )
         winners = lww_winners_fieldwise(
-            bucketed, keys, payload, carry_cols=[BUCKET_COL],
+            src, keys, payload, carry_cols=[BUCKET_COL],
             policy=update_policy, schema=snap.schema,
         ).withColumn(PU_COL, F.lit(True))
-
-    if post_reduce_transform is not None:
-        # Normalization is per-row pure and key/LSN-preserving, so it
-        # commutes with LWW — running it on winners (not raw events)
-        # cuts the vectorized-UDF volume by the duplicate factor.
-        winners = post_reduce_transform(winners)
 
     # conflict-count lineage, piggybacked on the write job (no extra
     # action): winners = distinct keys surviving the in-batch LWW
@@ -425,9 +464,13 @@ def merge_into(
     changed = sorted({int(b) for b in (*appends, *replaces)})
     if not changed:
         props = table.exactly_once_props(
-            batch_id, watermark_lsn if watermark_lsn is not None else table.watermark()
+            batch_id,
+            watermark_lsn if watermark_lsn is not None else wm_prev,
+            prev_properties=snap.properties,
         )
-        snap2 = table.commit({}, {}, props, {"batch_id": batch_id, "empty_batch": True})
+        snap2 = table.commit(
+            {}, {}, props, {"batch_id": batch_id, "empty_batch": True}, prev=snap
+        )
         return MergeResult(snap2, {"batch_id": batch_id, "rows_in": 0})
 
     if update_policy != "row":
@@ -458,11 +501,11 @@ def merge_into(
     elif max_lsn is not None:
         wm = max_lsn
     else:
-        wm = table.watermark()
-    props = table.exactly_once_props(batch_id, wm)
+        wm = wm_prev
+    props = table.exactly_once_props(batch_id, wm, prev_properties=snap.properties)
     if update_policy != "row":
         props["update_policy"] = update_policy
-    snap2 = table.commit(appends, replaces, props, metrics)
+    snap2 = table.commit(appends, replaces, props, metrics, prev=snap)
     return MergeResult(snap2, metrics)
 
 
@@ -638,9 +681,16 @@ def state_diff(
     :func:`table_changes` (also exposed as a driver-oracled query)."""
 
     def hashed(df: DataFrame, side: str) -> DataFrame:
+        # per-column md5s concatenated (fixed width): unambiguous — a
+        # separator/sentinel scheme over raw values lets adjacent
+        # columns shift content across the boundary ('a\x01b','c' vs
+        # 'a','b\x01c') and classify a real update as unchanged
         h = F.md5(
-            F.concat_ws(
-                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]
+            F.concat(
+                *[
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+                    for c in payload
+                ]
             )
         )
         return df.select(
@@ -697,7 +747,13 @@ def iceberg_merge_sql(
         parts = []
         for c in payload_cols:
             if update_policy == "blank_preserve" and c in strings:
-                parts.append(f"t.{c} = coalesce(nullif(trim(s.{c}), ''), t.{c})")
+                # blank = ALL-whitespace; the kept source value stays
+                # verbatim (no trim), matching the engine's semantics
+                parts.append(
+                    f"t.{c} = CASE WHEN s.{c} IS NULL "
+                    f"OR regexp_replace(s.{c}, '\\\\s', '', 'g') = '' "
+                    f"THEN t.{c} ELSE s.{c} END"
+                )
             else:
                 parts.append(f"t.{c} = coalesce(s.{c}, t.{c})")
         parts += [f"t.{LSN_COL} = s.{LSN_COL}", f"t.{OP_COL} = s.{OP_COL}"]

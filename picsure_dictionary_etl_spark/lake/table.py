@@ -163,6 +163,17 @@ class LakeTable:
                 f"table already exists at {t.root} (VERSION pointer present); "
                 "load() it, or truncate() for a clean slate"
             )
+        resolved_bucket_by = bucket_by or [key_cols[0]]
+        if not set(resolved_bucket_by) <= set(key_cols):
+            # a non-key-functional bucket column would let an update
+            # hash a key's new version into a DIFFERENT bucket than its
+            # stored row — the stale version stays live and deletes
+            # miss; refuse at create time
+            raise ValueError(
+                f"bucket_by {resolved_bucket_by} must be a subset of "
+                f"key_cols {key_cols} (bucket placement must be "
+                "key-functional)"
+            )
         t.io.makedirs(os.path.join(t.root, META_DIR))
         snap = Snapshot(
             version=0,
@@ -170,7 +181,7 @@ class LakeTable:
             schema_json=schema.json(),
             bucket_count=bucket_count,
             key_cols=key_cols,
-            bucket_by=bucket_by or [key_cols[0]],
+            bucket_by=resolved_bucket_by,
             files={},
             properties=properties or {},
         )
@@ -390,12 +401,16 @@ class LakeTable:
         replaces: dict[str, list[str]],
         properties_update: dict[str, Any] | None = None,
         lineage: dict[str, Any] | None = None,
+        prev: Snapshot | None = None,
     ) -> Snapshot:
         """Produce snapshot N+1: ``appends`` extend a bucket's file list
         (merge-on-read deltas); ``replaces`` swap it wholesale (copy-on-
         write / compaction). One atomic pointer swap commits everything.
-        """
-        prev = self.current()
+        ``prev`` lets a single-writer caller that already holds the
+        current snapshot skip the re-read (the manifest's file map is
+        O(table) JSON — and a remote round trip on catalog commit
+        points)."""
+        prev = prev or self.current()
         files = dict(prev.files)
         for b, fl in appends.items():
             files[b] = files.get(b, []) + fl
@@ -565,8 +580,12 @@ class LakeTable:
         self.fs.cleanup_empty_dirs(data_root)
         meta = os.path.join(self.root, META_DIR)
         for fn in self.io.list(meta):
-            if fn.startswith("snap-") and int(fn[5:13]) not in kept_versions:
-                self.io.remove(os.path.join(meta, fn))
+            # parse the FULL version token ({:08d} grows past 8 digits
+            # beyond version 10^8 — a fixed slice would misparse and
+            # delete the live manifest)
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                if int(fn[len("snap-"):-len(".json")]) not in kept_versions:
+                    self.io.remove(os.path.join(meta, fn))
         return {"files_removed": removed, "snapshots_kept": len(kept_versions)}
 
     def _rel(self, full: str) -> str | None:
@@ -594,8 +613,11 @@ class LakeTable:
     def applied_batch_ids(self) -> set[str]:
         return set(self.current().properties.get("applied_batches", []))
 
-    def exactly_once_props(self, batch_id: str, max_lsn: int) -> dict[str, Any]:
-        prev = self.current().properties
+    def exactly_once_props(
+        self, batch_id: str, max_lsn: int,
+        prev_properties: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        prev = prev_properties if prev_properties is not None else self.current().properties
         batches = list(prev.get("applied_batches", []))
         batches.append(batch_id)
         return {

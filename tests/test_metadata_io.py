@@ -245,3 +245,39 @@ def test_vacuum_through_metadata_io(spark, tmp_path):
     after = sum(1 for k in io.store if "snap-" in k)
     assert after == 2 < before
     assert t.current().version == 4
+
+
+def test_create_rejects_non_key_bucket_by(spark, tmp_path):
+    """bucket placement must be key-functional: a bucket_by outside the
+    key set would strand stale versions in old buckets."""
+    import pytest
+
+    with pytest.raises(ValueError, match="key-functional"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"), schema=transcript_table_schema(),
+            key_cols=["conv_id", "turn_idx"], bucket_by=["role"],
+            bucket_count=2)
+
+
+def test_vacuum_parses_wide_version_numbers(spark, tmp_path):
+    """Manifest version tokens wider than 8 digits (version >= 10^8 on
+    a long replay) parse fully — a fixed slice would misparse and GC
+    the live manifest."""
+    import json
+    import os as _os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "wide"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2)
+    merge_into(t, _events(spark, [
+        (1, "I", "c1", 0, "user", "x", None, None)]), "b1")
+    # simulate a crashed far-future claim with a 9-digit version
+    meta = _os.path.join(t.root, "_meta")
+    d = json.loads(t.current().to_json())
+    d["version"] = 123456789
+    with open(_os.path.join(meta, "snap-123456789.json"), "w") as f:
+        f.write(json.dumps(d))
+    t.vacuum(keep_snapshots=2)
+    assert t.current().version == 1          # live manifest intact
+    assert t.read().count() == 1
+    assert not _os.path.exists(_os.path.join(meta, "snap-123456789.json"))

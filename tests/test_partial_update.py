@@ -372,5 +372,53 @@ def test_iceberg_merge_sql_rendering():
         update_policy="blank_preserve", matched_only=True,
         string_cols={"role", "text"},
     )
-    assert "t.role = coalesce(nullif(trim(s.role), ''), t.role)" in part
+    assert ("t.role = CASE WHEN s.role IS NULL "
+            "OR regexp_replace(s.role, '\\\\s', '', 'g') = '' "
+            "THEN t.role ELSE s.role END") in part
     assert "NOT MATCHED" not in part
+
+
+def test_normalize_runs_before_fieldwise_reduce(spark, tmp_path):
+    """Field-wise reduces don't commute with normalization: a field the
+    normalizer nulls (control-char-only text) must read as UNSPECIFIED
+    before the winner is decided, so it can't shadow an earlier
+    specified value in the same batch."""
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "t"), bucket_count=2,
+        update_policy="coalesce"))  # normalize=True default
+    r.apply_batch(_events(spark, [
+        (1, "I", "c1", 0, "user", "hi", None, None),
+        (2, "U", "c1", 0, None, "\x02\x03", None, None),  # normalizes to null
+    ]), "b1")
+    row = r.state().collect()[0]
+    assert row["text"] == "hi"
+
+
+@MODES
+def test_blank_preserve_treats_tabs_newlines_as_blank(spark, tmp_path, mode):
+    """Java isBlank semantics: tab/newline-only strings are 'not
+    provided' under blank_preserve (F.trim strips only spaces)."""
+    t = _table(spark, tmp_path)
+    _seed(spark, t)
+    merge_into(t, _events(spark, [
+        (3, "U", "c1", 1, "\t\n", None, "calc", TS2)]),
+        "b2", update_policy="blank_preserve", mode=mode)
+    s = _state(t)
+    assert s[("c1", 1)] == ("assistant", "hi", "calc", TS2)
+
+
+def test_equal_lsn_ties_resolve_deterministically(spark, tmp_path):
+    """A source stamping one LSN per multi-statement transaction: ties
+    break by a content hash, so mor and cow (different shuffle
+    encounter orders) agree, and re-running agrees with itself."""
+    winners = set()
+    for i, mode in enumerate(["mor", "cow", "mor"]):
+        t = _table(spark, tmp_path / f"tie{i}")
+        merge_into(t, _events(spark, [
+            (1, "I", "c1", 0, "user", "A", None, None),
+            (1, "I", "c1", 0, "user", "B", None, None),  # same LSN
+        ]), "b1", mode=mode)
+        winners.add(_state(t)[("c1", 0)][1])
+    assert len(winners) == 1, f"nondeterministic tie: {winners}"

@@ -243,3 +243,25 @@ def test_state_diff_patch_property(spark):
         assert patched == new
 
     check()
+
+
+def test_state_diff_hash_not_injectable(spark):
+    """Separator/sentinel collisions ('a\\x01b','c') -> ('a','b\\x01c')
+    must classify as an Update, not vanish."""
+    from picsure_dictionary_etl_spark.lake.merge import state_diff
+
+    old = spark.createDataFrame(
+        [("k", 0, "a\x01b", "c", 1)],
+        ["conv_id", "turn_idx", "x", "y", "_lsn"])
+    new = spark.createDataFrame(
+        [("k", 0, "a", "b\x01c", 2)],
+        ["conv_id", "turn_idx", "x", "y", "_lsn"])
+    d = state_diff(old, new, ["conv_id", "turn_idx"], ["x", "y"]).collect()
+    assert len(d) == 1 and d[0]["_change"] == "U"
+    # null vs sentinel-looking value is also a change
+    old2 = spark.createDataFrame([("k", 0, None, "c", 1)],
+                                 old.schema)
+    new2 = spark.createDataFrame([("k", 0, "\x00", "c", 2)],
+                                 old.schema)
+    d2 = state_diff(old2, new2, ["conv_id", "turn_idx"], ["x", "y"]).collect()
+    assert len(d2) == 1 and d2[0]["_change"] == "U"
