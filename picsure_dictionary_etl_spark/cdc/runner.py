@@ -170,14 +170,31 @@ class CdcRunner:
         )
         valid, dead = split_dead_letter(events)
 
-        dead_rows = 0
+        dead_rows: int | None = None
         if self.config.dead_letter_dir:
             dl_path = os.path.join(self.config.dead_letter_dir, batch_id)
             # Dead letters are written before the commit; on a replayed
             # batch the overwrite keeps them exactly-once per batch id.
             dead.write.mode("overwrite").parquet(dl_path)
+            try:
+                # The write above is an action over the observed plan, so
+                # the real count is available NOW — stamp it into the
+                # committed lineage instead of a placeholder 0.
+                dead_rows = int(dead_obs.get["dead_rows"] or 0)
+            except Exception:
+                dead_rows = None
 
         salt = self.config.salt_partitions or self._auto_salt_active
+        extra_lineage: dict = {
+            "salt_partitions": salt,
+            "combine_first": self._auto_combine_active,
+        }
+        if dead_rows is not None:
+            # Only committed when observed pre-commit; when no DLQ dir is
+            # configured the count first materializes inside merge_into's
+            # own actions, so it rides the post-commit metrics instead of
+            # lying "0" in durable snapshot history.
+            extra_lineage["dead_letter_rows"] = dead_rows
         result = merge_into(
             self.table,
             valid,
@@ -185,11 +202,7 @@ class CdcRunner:
             mode=self.config.merge_mode,
             compact_threshold=self.config.compact_threshold * (salt or 1),
             salt_partitions=salt,
-            extra_lineage={
-                "dead_letter_rows": dead_rows,
-                "salt_partitions": salt,
-                "combine_first": self._auto_combine_active,
-            },
+            extra_lineage=extra_lineage,
             watermark_lsn=watermark_lsn,
             post_reduce_transform=normalize_events if self.config.normalize else None,
             update_policy=self.config.update_policy,

@@ -28,6 +28,7 @@ implementations may map them to object keys verbatim.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 
@@ -94,7 +95,11 @@ class PosixMetadataIO(MetadataIO):
             while rest.startswith("//"):
                 rest = rest[1:]
             return rest
-        if "://" in path.split("/", 1)[0]:
+        # NB: must check the raw path — "s3a://b/x".split("/", 1)[0] is
+        # "s3a:" (the first "/" belongs to "://"), which made an earlier
+        # guard dead code and let non-local roots silently write to a
+        # local dir literally named "s3a:".
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path):
             raise ValueError(
                 f"PosixMetadataIO cannot serve {path!r}; inject an "
                 "object-store/catalog MetadataIO for non-local roots"

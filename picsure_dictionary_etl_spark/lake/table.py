@@ -600,6 +600,12 @@ class LakeTable:
         for cand in candidates:
             if full.startswith(cand + "/"):
                 return full[len(cand) + 1:]
+        if "://" in self.root or "://" in full:
+            # URI roots where the FS qualified the authority differently
+            # (hdfs://nn:8020/... listed vs hdfs://nn/... root): relpath
+            # would return "../..." — never in `referenced` — and vacuum
+            # would delete live files. Skip the file instead.
+            return None
         try:
             return os.path.relpath(full, self.root)
         except ValueError:

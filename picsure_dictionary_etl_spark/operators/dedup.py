@@ -64,8 +64,14 @@ def jaccard_pairs(
     |A ∪ B| = |A| + |B| - common. ``max_shingle_freq`` drops shingles
     shared by more than N docs (stopword-grams) — they add candidates
     without discriminating, and they're the skew bombs at scale.
+
+    No persist(): the shingle frame is pure codegen over the source scan
+    and is consumed by exactly two aggregates Spark can recompute;
+    caching the exploded frame leaked storage memory across repeated
+    dedup calls (r3 verdict) and would itself be a hazard at corpus
+    scale.
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq:
         rare = (
@@ -112,8 +118,9 @@ def containment_pairs(
     containment ~1 (the "contained document" case from the
     training-data-dedup literature). Same capped inverted-index plan as
     :func:`jaccard_pairs` (identical shuffle/skew profile); output is
-    directed: ``id_small`` is (nearly) contained in ``id_big``."""
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    directed: ``id_small`` is (nearly) contained in ``id_big``.
+    No persist(), same rationale as :func:`jaccard_pairs`."""
+    sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq:
         rare = (

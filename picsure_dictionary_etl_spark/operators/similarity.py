@@ -173,6 +173,8 @@ def embedding_near_duplicates(
     dim: int | None = None,
     multi_probe: int = 0,
 ) -> DataFrame:
+    # (dim is required — see ValueError below; keyword kept in place for
+    # call-site compatibility.)
     """Embedding-cosine near-dup pairs: candidates are generated ONLY
     inside hyperplane sign buckets (two vectors at cosine >= ~0.98 agree
     on almost every random hyperplane, so same-bucket recall is high),
@@ -180,15 +182,18 @@ def embedding_near_duplicates(
     scale the bucket is a partition column and each bucket's candidate
     join is local.
 
-    ``dim`` should be passed by the caller (it always knows it); the
-    ``first()``-probe fallback costs an extra Spark job and raises on
-    empty input. ``multi_probe`` > 0 additionally registers each vector
+    ``dim`` is REQUIRED (the caller always knows it; the old
+    ``first()``-probe fallback cost an extra Spark job and raised on
+    empty input). ``multi_probe`` > 0 additionally registers each vector
     under that many flipped lowest-|margin| buckets (explode factor
     1+multi_probe per side) — the recall lever for thresholds below
     ~0.95, where single-bucket agreement decays; pairs meeting in
     several probe buckets dedupe before the exact verify."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_near_duplicates requires dim= (embedding length); "
+            "the driver-job .first() fallback was removed"
+        )
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
