@@ -646,29 +646,50 @@ def table_changes(
     for D. Downstream consumers chain incremental pipelines off this
     instead of re-reading the table.
 
-    Plan shape: resolve both snapshots (bucket-pruned file reads), one
-    full outer join on the keys, change classification from null-side
-    and per-row hash comparison — no window, no collect."""
+    Plan shape — O(change), not O(table): data files are immutable and
+    keys can never move buckets (bucket id is a pure hash of the
+    bucket_by columns and bucket_count is commit-invariant), so a
+    bucket's resolved live state can only differ between two versions
+    if its manifest FILE LIST differs. The changed-bucket set therefore
+    falls out of a metadata-only manifest diff; both sides then resolve
+    and full-outer-join ONLY those buckets' files. A commit that touched
+    1 of 1024 buckets on a 10^9-row table diffs 1 bucket, not the table.
+    Unchanged buckets are no-ops by construction and are never read.
+    Additive schema evolution is change-free for untouched buckets: the
+    added column reads null on BOTH sides of the diff. The one
+    resolution input that isn't per-bucket is the table's update_policy
+    property — if it differs between the versions the same bytes may
+    resolve differently, so that (rare, config-level) case falls back
+    to diffing every bucket."""
+    snap_from = table.snapshot(from_version)
     snap_to = table.snapshot(to_version)
     keys = snap_to.key_cols
     payload = _payload_cols(snap_to)
 
-    def live(version: int) -> DataFrame:
-        snap = table.snapshot(version)
+    pol_from = snap_from.properties.get("update_policy", "row")
+    pol_to = snap_to.properties.get("update_policy", "row")
+    if pol_from == pol_to:
+        changed = sorted(
+            b
+            for b in set(snap_from.files) | set(snap_to.files)
+            if snap_from.files.get(b) != snap_to.files.get(b)
+        )
+    else:
+        changed = sorted(set(snap_from.files) | set(snap_to.files))
+
+    def live(snap, policy: str) -> DataFrame:
         names = {f.name for f in snap.schema.fields}
         present = [c for c in payload if c in names]
-        df = _read_raw(table, snap, keys, present, rel_files=snap.all_files())
+        rel = [f for b in changed for f in snap.files.get(b, [])]
+        df = _read_raw(table, snap, keys, present, rel_files=rel)
         # columns added by later (additive) schema evolution read as
         # null in the older snapshot — diff-able by definition
         for c in payload:
             if c not in names:
                 df = df.withColumn(c, F.lit(None).cast(snap_to.schema[c].dataType))
-        return resolve_live(
-            df, keys, payload,
-            policy=snap.properties.get("update_policy", "row"), schema=snap_to.schema,
-        )
+        return resolve_live(df, keys, payload, policy=policy, schema=snap_to.schema)
 
-    return state_diff(live(from_version), live(to_version), keys, payload)
+    return state_diff(live(snap_from, pol_from), live(snap_to, pol_to), keys, payload)
 
 
 def state_diff(

@@ -174,3 +174,72 @@ def test_point_lookup_pushes_key_filter(spark, tmp_path):
     assert_pushed_filters(q2, "In(conv_id, [c3,c4])")
     expect2 = expect + len({i % 7 for i in range(4, 200, 20)})
     assert q2.count() == expect2
+
+
+def test_cdf_reads_only_changed_buckets(spark, tmp_path):
+    """table_changes must be O(change): a commit touching ONE bucket
+    diffs only that bucket's files on both sides — never the full
+    snapshots (the r3 scale-killer). The changed-bucket set is a
+    metadata-only manifest diff, so unchanged buckets produce zero IO."""
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, table_changes
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=8,
+    )
+    rows = [(i + 1, "I", f"c{i % 40}", i % 5, "user", f"t{i}", None, None)
+            for i in range(400)]
+    merge_into(t, spark.createDataFrame(rows, change_event_schema()), "b0")
+    v1 = t.current().version
+    snap1 = t.snapshot(v1)
+    assert len(snap1.files) == 8  # every bucket populated
+
+    # batch 2 touches exactly one conversation -> exactly one bucket
+    merge_into(t, spark.createDataFrame(
+        [(1000, "U", "c7", 2, "user", "edited", None, None)],
+        change_event_schema()), "b1")
+    v2 = t.current().version
+    snap2 = t.snapshot(v2)
+    changed = {b for b in set(snap1.files) | set(snap2.files)
+               if snap1.files.get(b) != snap2.files.get(b)}
+    assert len(changed) == 1
+    allowed = set()
+    for b in changed:
+        allowed.update(snap1.files.get(b, []))
+        allowed.update(snap2.files.get(b, []))
+    forbidden = (set(snap1.all_files()) | set(snap2.all_files())) - allowed
+    assert forbidden  # the guard below must actually guard something
+
+    read: list[str] = []
+    orig = t._read_files
+
+    def spy(snap, rel_files):
+        read.extend(rel_files)
+        return orig(snap, rel_files)
+
+    t._read_files = spy
+    try:
+        out = {(r["_change"], r["conv_id"], r["turn_idx"]): r["text"]
+               for r in table_changes(t, v1, v2).collect()}
+    finally:
+        t._read_files = orig
+
+    assert out == {("U", "c7", 2): "edited"}
+    assert read, "CDF read no files at all"
+    assert set(read) <= allowed
+    assert not set(read) & forbidden
+
+    # self-diff stays a zero-IO no-op
+    read.clear()
+    t._read_files = spy
+    try:
+        assert table_changes(t, v2, v2).count() == 0
+    finally:
+        t._read_files = orig
+    assert read == []
