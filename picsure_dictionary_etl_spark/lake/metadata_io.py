@@ -14,6 +14,15 @@ choose an implementation:
 
 * :class:`PosixMetadataIO` (default) — local disk or a shared POSIX
   mount (NFS/EFS). Atomicity via write-temp + ``os.rename``.
+* :class:`HadoopMetadataIO` — any Hadoop-FileSystem URI (``file:``,
+  ``hdfs:``, ``s3a:``, ...), reached through the live Spark session's
+  JVM (the same filesystem layer the executors write Parquet through).
+  Atomicity via ``FileContext.rename`` with ``Options.Rename``:
+  ``OVERWRITE`` for the pointer swap, ``NONE`` for the claim — both
+  server-side atomic on HDFS. On S3A, rename is copy+delete and the
+  existence check in NONE-rename is not atomic — for object stores
+  prefer a conditional-PUT / catalog client implementing this same
+  protocol.
 * An object-store/catalog client — S3 conditional-PUT (If-Match) for
   :meth:`~MetadataIO.swap_pointer`, or an Iceberg/Hive/Glue catalog's
   compare-and-swap table-pointer API. Not shipped here (no object
@@ -158,6 +167,97 @@ class PosixMetadataIO(MetadataIO):
 
     def remove(self, path: str) -> None:
         os.remove(self._local(path))
+
+
+class HadoopMetadataIO(MetadataIO):
+    """Commit point on the Hadoop FileSystem API — the metadata-plane
+    counterpart of ``lake/fs.py``'s :class:`HadoopDataFS`, so a URI
+    table root runs BOTH planes off POSIX with no extra dependency.
+
+    Primitives (verified against the local scheme, semantics per the
+    Hadoop FS contract):
+
+    * ``swap_pointer`` — write temp + ``FileContext.rename(...,
+      Rename.OVERWRITE)``: readers see old-or-new, never torn.
+    * ``create_exclusive`` — content lands durably in a temp file
+      FIRST; ``FileContext.rename(..., Rename.NONE)`` is the atomic
+      claim (``FileAlreadyExistsException`` if lost) and only ever
+      publishes a complete object — matching PosixMetadataIO's
+      all-or-nothing claim contract the takeover path relies on.
+
+    Reference analog: the shared DB commit point every loader node
+    talks to (``application.properties:1-7``)."""
+
+    def __init__(self, spark, root_uri: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._gw = spark.sparkContext._gateway
+        conf = spark._jsc.hadoopConfiguration()
+        uri = jvm.java.net.URI(root_uri)
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._Rename = getattr(jvm.org.apache.hadoop.fs.Options, "Rename")
+
+    def _rename(self, src: str, dst: str, opt) -> None:
+        arr = self._gw.new_array(self._Rename, 1)
+        arr[0] = opt
+        self._fc.rename(self._Path(src), self._Path(dst), arr)
+
+    def _write_tmp(self, path: str, text: str) -> str:
+        tmp = f"{os.path.dirname(path)}/.{os.path.basename(path)}.{uuid.uuid4().hex}"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            out.hflush()
+        finally:
+            out.close()
+        return tmp
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def read_text(self, path: str) -> str:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_atomic(self, path: str, text: str) -> None:
+        self._rename(self._write_tmp(path, text), path, self._Rename.OVERWRITE)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        tmp = self._write_tmp(path, text)
+        try:
+            self._rename(tmp, path, self._Rename.NONE)
+            return True
+        except Exception as e:  # py4j-wrapped FileAlreadyExistsException
+            if "FileAlreadyExistsException" in str(e):
+                try:
+                    self._fs.delete(self._Path(tmp), False)
+                except Exception:
+                    pass  # orphan temp: invisible (dot-prefixed), GC'able
+                return False
+            raise
+
+    def swap_pointer(self, path: str, text: str) -> None:
+        self._rename(self._write_tmp(path, text), path, self._Rename.OVERWRITE)
+
+    def list(self, dirpath: str) -> list[str]:
+        p = self._Path(dirpath)
+        if not self._fs.exists(p):
+            return []
+        return sorted(s.getPath().getName() for s in self._fs.listStatus(p))
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._Path(path), False)
 
 
 class InMemoryMetadataIO(MetadataIO):

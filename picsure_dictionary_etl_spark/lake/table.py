@@ -137,7 +137,17 @@ class LakeTable:
         # paths take the POSIX fast path
         self.root = root.rstrip("/") if is_uri(root) else os.path.abspath(root)
         self.fs = data_fs(spark, self.root)
-        self.io = io or PosixMetadataIO()
+        if io is not None:
+            self.io = io
+        elif is_uri(self.root):
+            # URI roots default to the Hadoop commit point, so BOTH
+            # planes run off POSIX with zero configuration; a catalog /
+            # conditional-PUT client can still be injected explicitly.
+            from picsure_dictionary_etl_spark.lake.metadata_io import HadoopMetadataIO
+
+            self.io = HadoopMetadataIO(spark, self.root)
+        else:
+            self.io = PosixMetadataIO()
 
     # ---------- creation / loading ----------
 

@@ -92,3 +92,100 @@ def test_file_uri_fieldwise_partial_updates(spark, tmp_path):
         for v in range(2, r.table.current_version() + 1)
         if r.table.snapshot(v).lineage
     )
+
+
+def test_file_uri_defaults_to_hadoop_commit_point(spark, tmp_path):
+    """URI roots auto-select HadoopMetadataIO: BOTH planes (data via
+    HadoopDataFS, metadata via FileContext rename) run off POSIX."""
+    from picsure_dictionary_etl_spark.lake.fs import HadoopDataFS
+    from picsure_dictionary_etl_spark.lake.metadata_io import HadoopMetadataIO
+
+    root = f"file:{tmp_path}/hp"
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False))
+    assert isinstance(r.table.io, HadoopMetadataIO)
+    assert isinstance(r.table.fs, HadoopDataFS)
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hi", None, None)]), "b1")
+    assert r.state().count() == 1
+
+
+def test_hadoop_metadata_io_primitives(spark, tmp_path):
+    """The commit-point contract on the Hadoop FileSystem API:
+    all-or-nothing exclusive claims, atomic pointer overwrite, listing,
+    FileNotFoundError mapping."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.metadata_io import HadoopMetadataIO
+
+    root = f"file:{tmp_path}/prim"
+    io = HadoopMetadataIO(spark, root)
+    m = f"{root}/_meta"
+    io.makedirs(m)
+
+    assert io.create_exclusive(f"{m}/claim", "winner")
+    assert not io.create_exclusive(f"{m}/claim", "loser")
+    assert io.read_text(f"{m}/claim") == "winner"  # loser never clobbers
+
+    io.swap_pointer(f"{m}/VERSION", "1")
+    io.swap_pointer(f"{m}/VERSION", "2")  # overwrite is allowed + atomic
+    assert io.read_text(f"{m}/VERSION") == "2"
+
+    io.write_atomic(f"{m}/obj", "a")
+    io.write_atomic(f"{m}/obj", "b")
+    assert io.read_text(f"{m}/obj") == "b"
+
+    with pytest.raises(FileNotFoundError):
+        io.read_text(f"{m}/missing")
+    assert io.list(f"{m}/nodir") == []
+    # losing claims + temp files never surface in listings
+    assert io.list(m) == ["VERSION", "claim", "obj"]
+    assert io.exists(f"{m}/claim") and not io.exists(f"{m}/missing")
+    io.remove(f"{m}/obj")
+    assert not io.exists(f"{m}/obj")
+
+
+def test_file_uri_kill_between_claim_and_swap_resumes(spark, tmp_path):
+    """Field-wise MOR + the kill-resume cycle with BOTH planes on
+    Hadoop: a crash after the manifest claim but before the pointer
+    swap leaves the claim orphaned; the retried batch takes it over and
+    the final state matches the uncrashed run."""
+    import json
+
+    root = f"file:{tmp_path}/kr"
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False,
+                                      update_policy="coalesce"))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", "cli", None)]), "seed")
+    t = r.table
+
+    # simulate the crashed attempt: the NEXT version's manifest claimed
+    # with batch id "p0", pointer not yet swapped (exactly the kill
+    # window mid-commit)
+    v = t.current().version
+    orphan = json.loads(t.current().to_json())
+    orphan["version"], orphan["parent"] = v + 1, v
+    orphan["lineage"] = {"batch_id": "p0"}
+    assert t.io.create_exclusive(
+        f"{t.root}/_meta/snap-{v + 1:08d}.json", json.dumps(orphan))
+    assert t.current().version == v  # readers can't see the orphan
+
+    # a stale pointer temp from the same crash must also be invisible
+    t.io._write_tmp(f"{t.root}/_meta/VERSION", "999")
+    assert t.current().version == v
+
+    # fresh runner (process restart analog) retries the same batch
+    r2 = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                       normalize=False,
+                                       update_policy="coalesce"))
+    r2.apply_batch(_ev(spark, [
+        (2, "U", "c1", 0, None, "edited", None, None)]), "p0")
+    assert r2.table.current().version == v + 1
+    row = r2.state().collect()[0]
+    # partial update merged field-wise: text patched, role/tool kept
+    assert (row["role"], row["text"], row["tool"]) == ("user", "edited", "cli")
+    # redelivery is still a committed no-op after the takeover
+    assert r2.apply_batch(_ev(spark, [
+        (2, "U", "c1", 0, None, "edited", None, None)]), "p0"
+    ).metrics.get("skipped_duplicate_batch")
