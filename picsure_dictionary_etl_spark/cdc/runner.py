@@ -62,6 +62,10 @@ class RunnerConfig:
     # salt factor internally (salting writes `salt_partitions` files per
     # bucket per batch — a raw file count would trigger compaction churn).
     compact_threshold: int = 8
+    # Bytes companion to the count trigger (lake/merge._should_compact):
+    # deltas exceeding this compact early even below the count; a base
+    # above it with <2% delta bytes defers (bounded at 4x the count).
+    compact_target_bytes: int = 64 * 1024 * 1024
     # Hot-bucket salting: spread each bucket's write across N tasks.
     # Leave None unless key skew concentrates a batch into few buckets —
     # the extra shuffle width costs ~15% when skew is absent.
@@ -201,6 +205,7 @@ class CdcRunner:
             batch_id,
             mode=self.config.merge_mode,
             compact_threshold=self.config.compact_threshold * (salt or 1),
+            compact_target_bytes=self.config.compact_target_bytes,
             salt_partitions=salt,
             extra_lineage=extra_lineage,
             watermark_lsn=watermark_lsn,

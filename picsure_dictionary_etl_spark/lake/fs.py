@@ -58,6 +58,9 @@ class PosixDataFS:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
 
 class HadoopDataFS:
     """URI roots, via the session JVM's Hadoop FileSystem — the exact
@@ -97,6 +100,9 @@ class HadoopDataFS:
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._path(path))
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._path(path)).getLen())
 
 
 def data_fs(spark, root: str):

@@ -281,6 +281,7 @@ def merge_into(
     update_policy: str = "row",
     matched_only: bool = False,
     combine_first: bool | None = None,
+    compact_target_bytes: int = 64 * 1024 * 1024,
 ) -> MergeResult:
     """Apply one change batch with exactly-once semantics.
 
@@ -457,6 +458,7 @@ def merge_into(
             table, snap, winners, keys, payload, salt, version, compact_threshold,
             write_repartition=bool(salt) or combine_first,
             resolve_policy=resolve_policy,
+            compact_target_bytes=compact_target_bytes,
         )
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
@@ -590,9 +592,58 @@ def _cow_write(
     return {}, replaces, changed
 
 
+def _should_compact(
+    n_files: int,
+    threshold: int,
+    base_bytes: int | None,
+    delta_bytes: int | None,
+    target_bytes: int,
+) -> bool:
+    """Count + bytes compaction trigger for one bucket.
+
+    A pure count trigger mis-handles mixed delta sizes at 10^10-event
+    scale in both directions: it lets a few LARGE deltas sit unmerged
+    (read amplification) until the count fires, and it rewrites a
+    large healthy base because N TINY deltas landed (write
+    amplification — absorbing 1% of the bytes re-writes 100%). Rules,
+    sizes permitting (``None`` sizes = stat unavailable → pure count
+    behavior):
+
+    * below the count threshold, compact early iff the accumulated
+      delta bytes alone exceed ``target_bytes`` — they are already a
+      full output file's worth of read amp;
+    * at the count threshold, DEFER iff the base exceeds
+      ``target_bytes`` and the deltas are under 2% of it — bounded by a
+      hard cap of 4× the count threshold so deferral can't starve
+      compaction (read amp stays O(threshold) files).
+    """
+    if n_files <= threshold:
+        return delta_bytes is not None and delta_bytes > target_bytes
+    if (
+        base_bytes
+        and delta_bytes is not None
+        and n_files <= 4 * threshold
+        and base_bytes > target_bytes
+        and delta_bytes < 0.02 * base_bytes
+    ):
+        return False
+    return True
+
+
+def _bucket_file_bytes(table, rel_files: list[str]) -> int | None:
+    """Total on-disk bytes of a file set via the table's data-plane FS
+    (POSIX stat locally, FileStatus on Hadoop roots). Returns None when
+    any stat fails — the trigger then degrades to pure count."""
+    try:
+        return sum(table.fs.size(os.path.join(table.root, f)) for f in rel_files)
+    except Exception:
+        return None
+
+
 def _mor_write(
     table, snap, winners, keys, payload, salt, version, threshold,
     write_repartition=False, resolve_policy="row",
+    compact_target_bytes: int = 64 * 1024 * 1024,
 ):
     """Merge-on-read: ONE pass over the batch — winner rows (including
     'D' tombstones, and ``_pu``-tagged field-wise partials) stream
@@ -609,9 +660,25 @@ def _mor_write(
         repartition=write_repartition,
     )
 
-    to_compact = [
-        int(b) for b in appends if len(snap.files.get(b, [])) + len(appends[b]) > threshold
-    ]
+    to_compact = []
+    for b in appends:
+        existing = snap.files.get(b, [])
+        n = len(existing) + len(appends[b])
+        # one trip through the size gate only for buckets near a
+        # trigger: stat-ing every file of every touched bucket per
+        # commit would be a HEAD-per-file tax on object stores
+        if n <= threshold and not existing:
+            continue  # fresh bucket, nothing to merge
+        base = [f for f in existing if "/delta/" not in f]
+        delta = [f for f in existing if "/delta/" in f] + list(appends[b])
+        if _should_compact(
+            n,
+            threshold,
+            _bucket_file_bytes(table, base),
+            _bucket_file_bytes(table, delta),
+            compact_target_bytes,
+        ):
+            to_compact.append(int(b))
     replaces: dict[str, list[str]] = {}
     if to_compact:
         # existing snapshot files + the fresh deltas for those buckets

@@ -356,3 +356,46 @@ def test_point_lookup_reads_one_bucket(spark, tmp_path):
     all_files = set(r.table.read().inputFiles())
     point_files = set(r.table.read_keys([conv]).inputFiles())
     assert point_files and point_files < all_files
+
+
+def test_should_compact_trigger_matrix():
+    """Count + bytes trigger rules (lake/merge._should_compact)."""
+    from picsure_dictionary_etl_spark.lake.merge import _should_compact
+
+    MB = 1024 * 1024
+    # pure-count behavior when sizes are unavailable
+    assert not _should_compact(8, 8, None, None, 64 * MB)
+    assert _should_compact(9, 8, None, None, 64 * MB)
+    # below count: early-compact only when deltas alone exceed target
+    assert _should_compact(3, 8, 0, 65 * MB, 64 * MB)
+    assert not _should_compact(3, 8, 0, 1 * MB, 64 * MB)
+    # count fired, large healthy base, trivial deltas -> defer
+    assert not _should_compact(9, 8, 500 * MB, 2 * MB, 64 * MB)
+    # ...but a small base never defers (rewrite is cheap)
+    assert _should_compact(9, 8, 10 * MB, 2 * MB, 64 * MB)
+    # ...nor do non-trivial deltas (>2% of base)
+    assert _should_compact(9, 8, 500 * MB, 30 * MB, 64 * MB)
+    # ...and the 4x hard cap bounds deferral
+    assert _should_compact(33, 8, 500 * MB, 2 * MB, 64 * MB)
+
+
+def test_bytes_trigger_compacts_early(spark, tmp_path):
+    """Deltas whose accumulated bytes exceed compact_target_bytes merge
+    before the count threshold fires (tiny target to trip at test
+    scale)."""
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "bt"), bucket_count=1, normalize=False,
+        compact_threshold=50, compact_target_bytes=500))
+    for i in range(3):
+        r.apply_batch(spark.createDataFrame(
+            [(i + 1, "I", "c1", i, "user", "x" * 200, None, None)],
+            change_event_schema()), f"b{i}")
+    compacted = [
+        v for v in range(1, r.table.current_version() + 1)
+        if r.table.snapshot(v).lineage.get("buckets_compacted")
+    ]
+    assert compacted  # fired on bytes, never on count (3 files < 50)
+    assert r.state().count() == 3
