@@ -77,16 +77,65 @@ def _next_link(bundle: dict) -> str | None:
     return None
 
 
+def _is_transient(exc: BaseException) -> bool:
+    """Retryable HTTP edge: throttling/5xx and network-level failures.
+    Auth/4xx (besides 429) are configuration errors — fail fast."""
+    import urllib.error
+
+    if isinstance(exc, urllib.error.HTTPError):  # before URLError/OSError
+        return exc.code in (429, 500, 502, 503, 504)
+    return isinstance(exc, (TimeoutError, OSError))
+
+
+def _retry_after_s(exc: BaseException, cap_s: float = 30.0) -> float | None:
+    """Server-requested delay from a Retry-After header (seconds form),
+    capped; None when absent/unparseable."""
+    headers = getattr(exc, "headers", None)
+    if headers is None:
+        return None
+    raw = headers.get("Retry-After")
+    try:
+        return min(float(raw), cap_s) if raw is not None else None
+    except (TypeError, ValueError):
+        return None
+
+
+def _fetch_with_retry(fetch, url, retries, backoff_s, sleep):
+    attempt = 0
+    while True:
+        try:
+            return fetch(url)
+        except Exception as e:
+            if attempt >= retries or not _is_transient(e):
+                raise
+            delay = backoff_s * (2**attempt)
+            ra = _retry_after_s(e)
+            if ra is not None:
+                delay = max(delay, ra)
+            sleep(delay)
+            attempt += 1
+
+
 def fetch_research_studies(
     endpoint: str,
     page_size: int = 200,
     fetch_page: Callable[[str], dict] | None = None,
     max_pages: int = 10_000,
+    retries: int = 3,
+    backoff_s: float = 0.5,
+    sleep: Callable[[float], None] | None = None,
 ) -> list[dict[str, Any]]:
     """Driver-side pager: every ``entry[].resource`` across the bundle
     chain. ``max_pages`` guards against a server that links to itself
-    (the reference would loop forever there)."""
+    (the reference would loop forever there). Transient failures
+    (timeouts, 429/5xx) retry per page with exponential backoff
+    (Retry-After honored when larger); other errors and malformed
+    bundles fail fast with the offending URL. ``sleep`` is injectable
+    for tests."""
+    import time as _time
+
     fetch = fetch_page or _http_fetch
+    do_sleep = sleep or _time.sleep
     url: str | None = _with_count(endpoint, page_size)
     out: list[dict[str, Any]] = []
     pages = 0
@@ -94,9 +143,14 @@ def fetch_research_studies(
         pages += 1
         if pages > max_pages:
             raise RuntimeError(f"FHIR pagination exceeded {max_pages} pages — next-link cycle?")
-        bundle = fetch(url)
+        bundle = _fetch_with_retry(fetch, url, retries, backoff_s, do_sleep)
+        if not isinstance(bundle, dict):
+            raise ValueError(
+                f"malformed FHIR bundle from {url}: expected a JSON object, "
+                f"got {type(bundle).__name__}"
+            )
         for entry in bundle.get("entry") or []:
-            resource = entry.get("resource")
+            resource = entry.get("resource") if isinstance(entry, dict) else None
             if resource:
                 out.append(resource)
         url = _next_link(bundle)

@@ -166,3 +166,133 @@ def test_fhir_metrics_accurate_and_redelivery_is_zero(spark, tmp_path):
     assert m1["metadata_updated"] == 2  # focus + design rows
     m2 = fhir.apply_fhir_updates(ds, md, studies, URL_TO_KEY, "f1", lsn=10)
     assert m2 == {"datasets_updated": 0, "metadata_updated": 0}
+
+
+# ---------- HTTP edge: fault-injecting pager doubles (no endpoint) ----------
+
+
+class _FaultPager:
+    """Scripted fetch double: pops the next behavior per call.
+    Behaviors: a dict (bundle returned) or an exception (raised)."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def __call__(self, url):
+        self.calls.append(url)
+        step = self.script.pop(0)
+        if isinstance(step, BaseException):
+            raise step
+        return step
+
+
+def _http_error(code, retry_after=None):
+    import email.message
+    import urllib.error
+
+    headers = email.message.Message()
+    if retry_after is not None:
+        headers["Retry-After"] = str(retry_after)
+    return urllib.error.HTTPError("http://x", code, "err", headers, None)
+
+
+def _bundle(ids, next_url=None):
+    b = {"entry": [{"resource": {"id": i}} for i in ids]}
+    if next_url:
+        b["link"] = [{"relation": "next", "url": next_url}]
+    return b
+
+
+def test_transient_5xx_retries_with_backoff():
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([
+        _http_error(503), _http_error(502), _bundle(["a"], "p2"),
+        TimeoutError("read timed out"), _bundle(["b"]),
+    ])
+    sleeps = []
+    got = fetch_research_studies(
+        "http://x/Bundle", fetch_page=pager, backoff_s=0.1,
+        sleep=sleeps.append)
+    assert [r["id"] for r in got] == ["a", "b"]
+    # exponential per page, attempt counter resets between pages
+    assert sleeps == [0.1, 0.2, 0.1]
+    assert len(pager.calls) == 5
+
+
+def test_429_honors_retry_after():
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([_http_error(429, retry_after=7), _bundle(["a"])])
+    sleeps = []
+    got = fetch_research_studies(
+        "http://x/Bundle", fetch_page=pager, backoff_s=0.1,
+        sleep=sleeps.append)
+    assert [r["id"] for r in got] == ["a"]
+    assert sleeps == [7.0]  # server ask wins over the 0.1 backoff
+
+
+def test_retries_exhausted_raises_last_error():
+    import pytest
+
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([TimeoutError(f"t{i}") for i in range(4)])
+    with pytest.raises(TimeoutError, match="t3"):
+        fetch_research_studies(
+            "http://x/Bundle", fetch_page=pager, retries=3,
+            backoff_s=0, sleep=lambda s: None)
+    assert len(pager.calls) == 4  # 1 try + 3 retries, then give up
+
+
+def test_fatal_4xx_fails_fast():
+    import pytest
+
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([_http_error(404)])
+    with pytest.raises(Exception) as ei:
+        fetch_research_studies(
+            "http://x/Bundle", fetch_page=pager,
+            sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    assert getattr(ei.value, "code", None) == 404
+    assert len(pager.calls) == 1  # no retry on config errors
+
+
+def test_malformed_bundle_names_url():
+    import pytest
+
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([_bundle(["a"], "http://x/p2"), ["not", "a", "bundle"]])
+    with pytest.raises(ValueError, match="http://x/p2"):
+        fetch_research_studies("http://x/Bundle", fetch_page=pager)
+
+
+def test_malformed_entries_are_skipped_not_fatal():
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    pager = _FaultPager([{
+        "entry": [
+            {"resource": {"id": "ok"}},
+            "junk-string-entry",
+            {"no_resource": True},
+            None,
+        ],
+    }])
+    got = fetch_research_studies("http://x/Bundle", fetch_page=pager)
+    assert [r["id"] for r in got] == ["ok"]
+
+
+def test_missing_next_link_ends_chain():
+    from picsure_dictionary_etl_spark.sources.fhir import fetch_research_studies
+
+    # malformed link block (no relation=next entry, junk relations)
+    pager = _FaultPager([{
+        "entry": [{"resource": {"id": "only"}}],
+        "link": [{"relation": "self", "url": "http://x/self"}, {}],
+    }])
+    got = fetch_research_studies("http://x/Bundle", fetch_page=pager)
+    assert [r["id"] for r in got] == ["only"]
+    assert len(pager.calls) == 1
