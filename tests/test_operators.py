@@ -209,3 +209,15 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = {r["media_id"]: r for r in multimodal.extract_features(media, dim=8).collect()}
     assert rows[1]["feature"] == again[1]["feature"]
+
+
+def test_embedding_near_dup_requires_dim(spark):
+    """dim= is required: the old .first() fallback cost a driver-side
+    Spark job and raised on empty input."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import similarity
+
+    df = spark.createDataFrame([("a", [0.1, 0.2])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="dim"):
+        similarity.embedding_near_duplicates(df)
