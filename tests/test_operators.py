@@ -221,3 +221,26 @@ def test_embedding_near_dup_requires_dim(spark):
     df = spark.createDataFrame([("a", [0.1, 0.2])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="dim"):
         similarity.embedding_near_duplicates(df)
+
+
+def test_dedup_shingle_cache_is_bounded(spark):
+    """Repeated jaccard/containment calls must not accumulate cached
+    frames (the r3 storage leak): the scoped cache holds at most ONE
+    and release_caches() empties it."""
+    from picsure_dictionary_etl_spark.operators import dedup
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    dedup.release_caches()
+    base = n_cached()
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(30)],
+        ["doc_id", "text"])
+    for i in range(6):
+        fn = dedup.jaccard_pairs if i % 2 else dedup.containment_pairs
+        fn(docs, "doc_id", "text", n=2, threshold=0.5).count()
+        assert n_cached() <= base + 1
+    dedup.release_caches()
+    assert n_cached() == base
