@@ -60,11 +60,17 @@ def main() -> None:
     ap.add_argument("--kills", type=int, default=10)
     ap.add_argument("--step", type=int, default=100_000)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--uri", action="store_true",
+        help="root the table at a file: URI so BOTH planes (Hadoop data "
+        "FS + HadoopMetadataIO commit point) take the kills",
+    )
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
     wd = tempfile.mkdtemp(prefix="chaos_")
-    events, root = os.path.join(wd, "events"), os.path.join(wd, "table")
+    events, posix_root = os.path.join(wd, "events"), os.path.join(wd, "table")
+    root = f"file:{posix_root}" if args.uri else posix_root
     subprocess.run(
         [sys.executable, "-c",
          STAGE.format(repo=REPO, n_events=args.events, events=events)],
@@ -73,7 +79,9 @@ def main() -> None:
 
     code = WORKER.format(repo=REPO, events=events, root=root,
                          step=args.step, n_events=args.events)
-    version_file = os.path.join(root, "_meta", "VERSION")
+    # observation only — the engine itself never touches the POSIX path
+    # in --uri mode
+    version_file = os.path.join(posix_root, "_meta", "VERSION")
 
     def version() -> int:
         try:
@@ -135,6 +143,7 @@ print("CHECK " + json.dumps({{"engine_rows": n, "oracle_rows": want,
     res = json.loads(line[len("CHECK "):])
     summary = {
         "events": args.events, "kills": kills, "resume_attempts": attempts,
+        "uri_root": bool(args.uri),
         "version_progression": progression, **res,
     }
     with open(os.path.join(HERE, "chaos_results.json"), "w") as f:
