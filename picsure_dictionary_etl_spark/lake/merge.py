@@ -630,12 +630,20 @@ def _should_compact(
     return True
 
 
-def _bucket_file_bytes(table, rel_files: list[str]) -> int | None:
-    """Total on-disk bytes of a file set via the table's data-plane FS
-    (POSIX stat locally, FileStatus on Hadoop roots). Returns None when
-    any stat fails — the trigger then degrades to pure count."""
+def _bucket_file_bytes(table, rel_files: list[str], snap=None) -> int | None:
+    """Total bytes of a file set. Committed files resolve from the
+    manifest's ``file_sizes`` (recorded at commit time — METADATA, zero
+    filesystem round trips); only files the manifest doesn't know yet
+    (this batch's just-written deltas, pre-upgrade manifests) fall back
+    to a data-plane stat (POSIX stat locally, FileStatus on Hadoop
+    roots). Returns None when a fallback stat fails — the trigger then
+    degrades to pure count."""
+    known = snap.file_sizes if snap is not None else {}
     try:
-        return sum(table.fs.size(os.path.join(table.root, f)) for f in rel_files)
+        return sum(
+            known[f] if f in known else table.fs.size(os.path.join(table.root, f))
+            for f in rel_files
+        )
     except Exception:
         return None
 
@@ -664,18 +672,18 @@ def _mor_write(
     for b in appends:
         existing = snap.files.get(b, [])
         n = len(existing) + len(appends[b])
-        # one trip through the size gate only for buckets near a
-        # trigger: stat-ing every file of every touched bucket per
-        # commit would be a HEAD-per-file tax on object stores
         if n <= threshold and not existing:
             continue  # fresh bucket, nothing to merge
+        # sizes: committed files from the manifest (metadata-only),
+        # just-written deltas via one stat each — never a HEAD sweep
+        # over the table's existing files
         base = [f for f in existing if "/delta/" not in f]
         delta = [f for f in existing if "/delta/" in f] + list(appends[b])
         if _should_compact(
             n,
             threshold,
-            _bucket_file_bytes(table, base),
-            _bucket_file_bytes(table, delta),
+            _bucket_file_bytes(table, base, snap),
+            _bucket_file_bytes(table, delta, snap),
             compact_target_bytes,
         ):
             to_compact.append(int(b))

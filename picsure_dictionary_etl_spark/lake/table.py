@@ -76,6 +76,12 @@ class Snapshot:
     files: dict[str, list[str]]
     properties: dict[str, Any] = field(default_factory=dict)
     lineage: dict[str, Any] = field(default_factory=dict)
+    # rel path -> bytes, recorded at commit time (one stat per NEW file,
+    # on the just-written commit dir) so size-aware decisions — the
+    # compaction trigger — read METADATA instead of HEAD-ing every
+    # existing file per commit (the Iceberg per-file-stats analog).
+    # May be sparse on pre-upgrade manifests; readers must fall back.
+    file_sizes: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -94,6 +100,7 @@ class Snapshot:
                 "key_cols": self.key_cols,
                 "bucket_by": self.bucket_by,
                 "files": self.files,
+                "file_sizes": self.file_sizes,
                 "properties": self.properties,
                 "lineage": self.lineage,
             },
@@ -113,6 +120,7 @@ class Snapshot:
             files=d["files"],
             properties=d.get("properties", {}),
             lineage=d.get("lineage", {}),
+            file_sizes=d.get("file_sizes", {}),
         )
 
 
@@ -427,6 +435,19 @@ class LakeTable:
         for b, fl in replaces.items():
             files[b] = fl
         files = {b: fl for b, fl in files.items() if fl}
+        # per-file byte sizes: stat ONLY the new files (they sit in this
+        # commit's own dir — cheap even on object stores), carry the
+        # rest forward, prune entries for files no longer referenced
+        sizes = dict(prev.file_sizes)
+        for fl in (*appends.values(), *replaces.values()):
+            for f in fl:
+                if f not in sizes:
+                    try:
+                        sizes[f] = int(self.fs.size(os.path.join(self.root, f)))
+                    except Exception:
+                        pass  # stat unavailable: readers fall back
+        live = {f for fl in files.values() for f in fl}
+        sizes = {f: s for f, s in sizes.items() if f in live}
         props = dict(prev.properties)
         props.update(properties_update or {})
         snap = Snapshot(
@@ -439,6 +460,7 @@ class LakeTable:
             files=files,
             properties=props,
             lineage=lineage or {},
+            file_sizes=sizes,
         )
         self._write_snapshot(snap)
         return snap
@@ -468,6 +490,7 @@ class LakeTable:
             files=prev.files,
             properties=dict(prev.properties),
             lineage={"schema_evolution": [f.name for f in added]},
+            file_sizes=dict(prev.file_sizes),
         )
         self._write_snapshot(snap)
         return snap
@@ -524,6 +547,7 @@ class LakeTable:
             files=dict(target.files),
             properties=dict(target.properties),
             lineage={"rollback_to": version},
+            file_sizes=dict(target.file_sizes),
         )
         self._write_snapshot(snap)
         return snap

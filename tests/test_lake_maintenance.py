@@ -399,3 +399,45 @@ def test_bytes_trigger_compacts_early(spark, tmp_path):
     ]
     assert compacted  # fired on bytes, never on count (3 files < 50)
     assert r.state().count() == 3
+
+
+def test_manifest_records_file_sizes_and_trigger_avoids_stats(spark, tmp_path):
+    """Commits record per-file byte sizes in the manifest (one stat per
+    NEW file); the compaction trigger reads committed sizes from
+    metadata — it must never re-stat the table's existing files (a
+    HEAD-per-file tax on object stores at 10^10 scale)."""
+    from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+    from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+
+    r = CdcRunner(spark, RunnerConfig(
+        table_root=str(tmp_path / "fs"), bucket_count=2, normalize=False,
+        compact_threshold=50, compact_target_bytes=500))
+    for i in range(2):
+        r.apply_batch(spark.createDataFrame(
+            [(i + 1, "I", "c1", i, "user", "x" * 200, None, None)],
+            change_event_schema()), f"b{i}")
+    t = r.table
+    snap = t.current()
+    # every referenced file has a recorded size matching the disk
+    import os
+    for f in snap.all_files():
+        assert snap.file_sizes[f] == os.path.getsize(os.path.join(t.root, f))
+
+    statted = []
+    orig = t.fs.size
+
+    def spy(path):
+        statted.append(path)
+        return orig(path)
+
+    t.fs.size = spy
+    try:
+        r.apply_batch(spark.createDataFrame(
+            [(3, "I", "c1", 7, "user", "x" * 200, None, None)],
+            change_event_schema()), "b2")
+    finally:
+        t.fs.size = orig
+    old_files = {os.path.join(t.root, f) for f in snap.all_files()}
+    assert statted, "no stats at all — trigger and commit both idle?"
+    assert not (set(statted) & old_files), (
+        "trigger re-statted committed files instead of reading the manifest")
