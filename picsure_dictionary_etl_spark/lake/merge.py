@@ -447,6 +447,7 @@ def merge_into(
     salt = [F.pmod(F.xxhash64(*keys), F.lit(salt_partitions))] if salt_partitions else None
     version = snap.version + 1
 
+    sizes_hint: dict[str, int] = {}
     if mode == "cow":
         appends, replaces, compacted = _cow_write(
             table, snap, winners, keys, payload, salt, version,
@@ -454,7 +455,7 @@ def merge_into(
             resolve_policy=resolve_policy,
         )
     elif mode == "mor":
-        appends, replaces, compacted = _mor_write(
+        appends, replaces, compacted, sizes_hint = _mor_write(
             table, snap, winners, keys, payload, salt, version, compact_threshold,
             write_repartition=bool(salt) or combine_first,
             resolve_policy=resolve_policy,
@@ -507,7 +508,9 @@ def merge_into(
     props = table.exactly_once_props(batch_id, wm, prev_properties=snap.properties)
     if update_policy != "row":
         props["update_policy"] = update_policy
-    snap2 = table.commit(appends, replaces, props, metrics, prev=snap)
+    snap2 = table.commit(
+        appends, replaces, props, metrics, prev=snap, file_sizes_hint=sizes_hint
+    )
     return MergeResult(snap2, metrics)
 
 
@@ -630,20 +633,32 @@ def _should_compact(
     return True
 
 
-def _bucket_file_bytes(table, rel_files: list[str], snap=None) -> int | None:
+def _bucket_file_bytes(
+    table, rel_files: list[str], snap=None, stat_cache: dict | None = None
+) -> int | None:
     """Total bytes of a file set. Committed files resolve from the
     manifest's ``file_sizes`` (recorded at commit time — METADATA, zero
     filesystem round trips); only files the manifest doesn't know yet
     (this batch's just-written deltas, pre-upgrade manifests) fall back
     to a data-plane stat (POSIX stat locally, FileStatus on Hadoop
-    roots). Returns None when a fallback stat fails — the trigger then
-    degrades to pure count."""
+    roots), memoized into ``stat_cache`` so each new file is statted at
+    most ONCE per commit (the cache is then handed to ``commit()`` so
+    it never re-stats them either). Returns None when a fallback stat
+    fails — the trigger then degrades to pure count."""
     known = snap.file_sizes if snap is not None else {}
+    cache = stat_cache if stat_cache is not None else {}
     try:
-        return sum(
-            known[f] if f in known else table.fs.size(os.path.join(table.root, f))
-            for f in rel_files
-        )
+        total = 0
+        for f in rel_files:
+            if f in known:
+                total += known[f]
+            elif f in cache:
+                total += cache[f]
+            else:
+                s = int(table.fs.size(os.path.join(table.root, f)))
+                cache[f] = s
+                total += s
+        return total
     except Exception:
         return None
 
@@ -662,28 +677,40 @@ def _mor_write(
     second, amortized-rare job; compaction output is fully-resolved
     FULL rows (the ``_pu``/``_del_lsn`` history collapses).
 
-    Returns (appends, replaces, compacted_bucket_ids)."""
+    Returns (appends, replaces, compacted_bucket_ids, new_file_sizes) —
+    the last is the trigger's memoized stat cache, handed to
+    ``commit()`` so no new file is ever statted twice."""
     appends = table.write_data_files(
         winners, version, write_partitions=salt, subdir="delta",
         repartition=write_repartition,
     )
 
     to_compact = []
+    new_sizes: dict[str, int] = {}
     for b in appends:
         existing = snap.files.get(b, [])
         n = len(existing) + len(appends[b])
-        if n <= threshold and not existing:
-            continue  # fresh bucket, nothing to merge
+        if n > 4 * threshold:
+            to_compact.append(int(b))  # forced by the cap: skip byte math
+            continue
+        if n == 1 and not existing:
+            # one fresh file: merging is a no-op and early-compacting
+            # would double the initial load's write amplification
+            continue
         # sizes: committed files from the manifest (metadata-only),
-        # just-written deltas via one stat each — never a HEAD sweep
-        # over the table's existing files
+        # just-written deltas via one memoized stat each — never a HEAD
+        # sweep over the table's existing files. Fresh buckets are NOT
+        # exempt: a big initial load (salted multi-file deltas over the
+        # early-bytes target) compacts immediately — resolved, sorted,
+        # tombstone-free — instead of serving raw deltas until the
+        # count threshold catches up.
         base = [f for f in existing if "/delta/" not in f]
         delta = [f for f in existing if "/delta/" in f] + list(appends[b])
         if _should_compact(
             n,
             threshold,
-            _bucket_file_bytes(table, base, snap),
-            _bucket_file_bytes(table, delta, snap),
+            _bucket_file_bytes(table, base, snap, new_sizes),
+            _bucket_file_bytes(table, delta, snap, new_sizes),
             compact_target_bytes,
         ):
             to_compact.append(int(b))
@@ -709,7 +736,9 @@ def _mor_write(
         for b in to_compact:
             # superseded deltas become unreferenced files (GC'able)
             appends.pop(str(b), None)
-    return appends, replaces, to_compact
+        # superseded deltas' entries in new_sizes are harmless: commit()
+        # prunes sizes to the referenced file set
+    return appends, replaces, to_compact, new_sizes
 
 
 def table_changes(

@@ -174,16 +174,23 @@ class HadoopMetadataIO(MetadataIO):
     counterpart of ``lake/fs.py``'s :class:`HadoopDataFS`, so a URI
     table root runs BOTH planes off POSIX with no extra dependency.
 
-    Primitives (verified against the local scheme, semantics per the
-    Hadoop FS contract):
+    Atomicity is scheme-aware, because Hadoop's CLIENT-side rename
+    paths are weaker than they look:
 
-    * ``swap_pointer`` — write temp + ``FileContext.rename(...,
-      Rename.OVERWRITE)``: readers see old-or-new, never torn.
-    * ``create_exclusive`` — content lands durably in a temp file
-      FIRST; ``FileContext.rename(..., Rename.NONE)`` is the atomic
-      claim (``FileAlreadyExistsException`` if lost) and only ever
-      publishes a complete object — matching PosixMetadataIO's
-      all-or-nothing claim contract the takeover path relies on.
+    * **local (``file:``) roots delegate every primitive to POSIX
+      syscalls** on the mapped path. The generic ``FileContext.rename``
+      on LocalFs is getFileStatus + delete + rename client-side — a
+      kill in the middle leaves NO pointer, and two racing NONE-renames
+      can both pass the existence check. ``os.rename`` (atomic swap),
+      ``os.link`` (atomic claim, EEXIST on loss) and ``os.fsync``
+      restore the exact PosixMetadataIO guarantees the chaos harness
+      certifies.
+    * **HDFS roots** use ``FileContext.rename(OVERWRITE|NONE)`` — both
+      are NameNode-side atomic — with ``hsync()`` (not just hflush) on
+      the temp write so the bytes are on-disk before publish.
+    * **S3-like stores**: rename is copy+delete and NONE-rename's
+      existence check is not atomic — inject a conditional-PUT /
+      catalog client instead (docstring at module top).
 
     Reference analog: the shared DB commit point every loader node
     talks to (``application.properties:1-7``)."""
@@ -198,6 +205,11 @@ class HadoopMetadataIO(MetadataIO):
         self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._Rename = getattr(jvm.org.apache.hadoop.fs.Options, "Rename")
+        # file: scheme -> POSIX syscalls for the atomic primitives (see
+        # class docstring); the delegate maps file:/x paths itself
+        self._posix = (
+            PosixMetadataIO() if str(self._fs.getScheme()) == "file" else None
+        )
 
     def _rename(self, src: str, dst: str, opt) -> None:
         arr = self._gw.new_array(self._Rename, 1)
@@ -209,7 +221,7 @@ class HadoopMetadataIO(MetadataIO):
         out = self._fs.create(self._Path(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
-            out.hflush()
+            out.hsync()  # persistence barrier; hflush alone is memory-only
         finally:
             out.close()
         return tmp
@@ -222,18 +234,28 @@ class HadoopMetadataIO(MetadataIO):
 
     def read_text(self, path: str) -> str:
         p = self._Path(path)
-        if not self._fs.exists(p):
-            raise FileNotFoundError(path)
-        stream = self._fs.open(p)
+        try:
+            stream = self._fs.open(p)
+        except Exception as e:
+            # no TOCTOU exists() probe: map the (possibly concurrent)
+            # miss to the typed error the Posix contract promises
+            if "FileNotFoundException" in str(e):
+                raise FileNotFoundError(path) from None
+            raise
         try:
             return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
 
     def write_atomic(self, path: str, text: str) -> None:
+        if self._posix is not None:
+            self._posix.write_atomic(path, text)
+            return
         self._rename(self._write_tmp(path, text), path, self._Rename.OVERWRITE)
 
     def create_exclusive(self, path: str, text: str) -> bool:
+        if self._posix is not None:
+            return self._posix.create_exclusive(path, text)
         tmp = self._write_tmp(path, text)
         try:
             self._rename(tmp, path, self._Rename.NONE)
@@ -248,7 +270,7 @@ class HadoopMetadataIO(MetadataIO):
             raise
 
     def swap_pointer(self, path: str, text: str) -> None:
-        self._rename(self._write_tmp(path, text), path, self._Rename.OVERWRITE)
+        self.write_atomic(path, text)  # same primitive, distinct contract
 
     def list(self, dirpath: str) -> list[str]:
         p = self._Path(dirpath)
@@ -257,7 +279,9 @@ class HadoopMetadataIO(MetadataIO):
         return sorted(s.getPath().getName() for s in self._fs.listStatus(p))
 
     def remove(self, path: str) -> None:
-        self._fs.delete(self._Path(path), False)
+        p = self._Path(path)
+        if not self._fs.delete(p, False) and not self._fs.exists(p):
+            raise FileNotFoundError(path)  # Posix contract parity
 
 
 class InMemoryMetadataIO(MetadataIO):

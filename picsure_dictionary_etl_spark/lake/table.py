@@ -420,6 +420,7 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         lineage: dict[str, Any] | None = None,
         prev: Snapshot | None = None,
+        file_sizes_hint: dict[str, int] | None = None,
     ) -> Snapshot:
         """Produce snapshot N+1: ``appends`` extend a bucket's file list
         (merge-on-read deltas); ``replaces`` swap it wholesale (copy-on-
@@ -437,8 +438,12 @@ class LakeTable:
         files = {b: fl for b, fl in files.items() if fl}
         # per-file byte sizes: stat ONLY the new files (they sit in this
         # commit's own dir — cheap even on object stores), carry the
-        # rest forward, prune entries for files no longer referenced
+        # rest forward, prune entries for files no longer referenced.
+        # ``file_sizes_hint`` carries sizes the caller already statted
+        # (the compaction trigger's memoized cache) so nothing is
+        # statted twice.
         sizes = dict(prev.file_sizes)
+        sizes.update(file_sizes_hint or {})
         for fl in (*appends.values(), *replaces.values()):
             for f in fl:
                 if f not in sizes:

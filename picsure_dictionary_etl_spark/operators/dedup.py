@@ -40,8 +40,14 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     # a semantically identical frame (same source, cols, n) reuses the
     # live cache entry — repeated dedup passes over the same corpus
     # (re-runs, jaccard THEN containment) skip the re-explode entirely
-    if _live_cache and _live_cache[0].sameSemantics(df):
-        return _live_cache[0]
+    if _live_cache:
+        try:
+            if _live_cache[0].sameSemantics(df):
+                return _live_cache[0]
+        except Exception:
+            # cached frame bound to a stopped SparkSession: treat as a
+            # miss and drop it rather than poisoning the new session
+            _live_cache.clear()
     release_caches()
     df = df.persist()
     _live_cache.append(df)
@@ -49,9 +55,13 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist any shingle frame a previous dedup call left cached."""
+    """Unpersist any shingle frame a previous dedup call left cached.
+    A frame whose session has been stopped is simply dropped."""
     while _live_cache:
-        _live_cache.pop().unpersist()
+        try:
+            _live_cache.pop().unpersist()
+        except Exception:
+            pass  # dead session: nothing to release
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

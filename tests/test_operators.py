@@ -244,3 +244,24 @@ def test_dedup_shingle_cache_is_bounded(spark):
         assert n_cached() <= base + 1
     dedup.release_caches()
     assert n_cached() == base
+
+
+def test_dedup_cache_survives_dead_cached_frame(spark):
+    """A cached frame bound to a stopped session must be treated as a
+    miss, not poison the next dedup call."""
+    from picsure_dictionary_etl_spark.operators import dedup
+
+    class DeadFrame:
+        def sameSemantics(self, other):
+            raise RuntimeError("SparkContext was shut down")
+
+        def unpersist(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    dedup.release_caches()
+    dedup._live_cache.append(DeadFrame())
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"])
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    assert out.count() == 1  # recovered and computed normally
+    dedup.release_caches()

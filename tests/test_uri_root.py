@@ -189,3 +189,28 @@ def test_file_uri_kill_between_claim_and_swap_resumes(spark, tmp_path):
     assert r2.apply_batch(_ev(spark, [
         (2, "U", "c1", 0, None, "edited", None, None)]), "p0"
     ).metrics.get("skipped_duplicate_batch")
+
+
+def test_hadoop_io_local_scheme_delegates_to_posix(spark, tmp_path):
+    """On file: roots the atomic primitives MUST go through POSIX
+    syscalls: Hadoop's client-side OVERWRITE rename on LocalFs is
+    delete-then-rename (a kill in between leaves NO pointer) and its
+    NONE rename is check-then-act (two racers can both win). The
+    delegate restores os.rename / os.link semantics."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.metadata_io import (
+        HadoopMetadataIO,
+        PosixMetadataIO,
+    )
+
+    io = HadoopMetadataIO(spark, f"file:{tmp_path}/d")
+    assert isinstance(io._posix, PosixMetadataIO)
+    m = f"file:{tmp_path}/d/_meta"
+    io.makedirs(m)
+    io.swap_pointer(f"{m}/VERSION", "1")
+    assert io.read_text(f"{m}/VERSION") == "1"
+    assert io.create_exclusive(f"{m}/c", "w") and not io.create_exclusive(f"{m}/c", "l")
+    # error-contract parity with the POSIX plane
+    with pytest.raises(FileNotFoundError):
+        io.remove(f"{m}/never-existed")
