@@ -265,3 +265,64 @@ def test_state_diff_hash_not_injectable(spark):
                                  old.schema)
     d2 = state_diff(old2, new2, ["conv_id", "turn_idx"], ["x", "y"]).collect()
     assert len(d2) == 1 and d2[0]["_change"] == "U"
+
+
+def test_change_feed_consumer_exactly_once_downstream(spark, tmp_path):
+    """Checkpointed tail of the committed snapshots: each poll returns
+    the O(change) diff since the last ack; a crash between poll and ack
+    re-delivers the identical diff; applying diffs as patches converges
+    the downstream mirror to the table's live state."""
+    from picsure_dictionary_etl_spark.lake.consume import ChangeFeedConsumer
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=4,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, change_event_schema())
+
+    mirror: dict = {}
+
+    def apply(df, from_v, to_v):
+        for r in df.collect():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["_change"] == "D":
+                mirror.pop(k, None)
+            else:
+                mirror[k] = r["text"]
+
+    c = ChangeFeedConsumer(t, str(tmp_path / "ckpt" / "mirror"))
+    assert c.poll() is None  # fresh table, nothing to consume
+
+    merge_into(t, ev([(1, "I", "a", 0, "user", "hello", None, TS),
+                      (2, "I", "b", 0, "user", "yo", None, TS)]), "b1")
+    merge_into(t, ev([(3, "U", "a", 0, "user", "edited", None, TS),
+                      (4, "D", "b", 0, None, None, None, None),
+                      (5, "I", "c", 0, "user", "new", None, TS)]), "b2")
+    assert c.consume(apply) == 1  # both commits drained in ONE diff
+    assert mirror == {("a", 0): "edited", ("c", 0): "new"}
+
+    # crash between poll and ack: redelivery is byte-identical and
+    # patch-idempotent
+    merge_into(t, ev([(6, "U", "c", 0, "user", "new2", None, TS)]), "b3")
+    b1 = c.poll()
+    rows1 = sorted(map(tuple, b1.df.collect()))
+    # "crash": no ack — a fresh consumer on the same checkpoint re-polls
+    c2 = ChangeFeedConsumer(t, str(tmp_path / "ckpt" / "mirror"))
+    b2 = c2.poll()
+    assert (b2.from_version, b2.to_version) == (b1.from_version, b1.to_version)
+    assert sorted(map(tuple, b2.df.collect())) == rows1
+    apply(b2.df, b2.from_version, b2.to_version)
+    apply(b2.df, b2.from_version, b2.to_version)  # double-apply: idempotent
+    b2.ack()
+    assert mirror == {("a", 0): "edited", ("c", 0): "new2"}
+    assert c2.poll() is None  # caught up
+
+    # mirror equals the table's resolved live state
+    from picsure_dictionary_etl_spark.lake.merge import _payload_cols, resolve_live
+
+    snap = t.current()
+    live = resolve_live(t.read(), TRANSCRIPT_KEY, _payload_cols(snap))
+    want = {(r["conv_id"], r["turn_idx"]): r["text"] for r in live.collect()}
+    assert mirror == want
