@@ -1646,6 +1646,34 @@ FROM m, LATERAL unnest(generate_series(
 """
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode certification: deterministic P6 PPM payloads
+    are generated distributed (per-id gradient, a pure function of
+    media_id), decoded with the pure-numpy PPM parser, and projected as
+    per-channel integer pixel SUMS — integer arithmetic end-to-end, so
+    the DuckDB twin recomputing the pattern must match byte-exactly.
+    This is pixels actually decoded from real image bytes, not the
+    byte-statistics stub (sf-independent by design: fixed 16 images)."""
+    media = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
+    return multimodal.ppm_channel_sums(media)
+
+
+SQL_MULTIMODAL_REAL_DECODE = """
+WITH ids AS (SELECT unnest(generate_series(0, 15)) AS media_id),
+grid AS (
+  SELECT xs.x AS x, ys.y AS y
+  FROM (SELECT unnest(generate_series(0, 31)) AS x) xs,
+       (SELECT unnest(generate_series(0, 23)) AS y) ys
+)
+SELECT media_id,
+       sum((x * 8 + media_id) % 256)      AS r_sum,
+       sum((y * 8 + media_id * 3) % 256)  AS g_sum,
+       sum((x + y + media_id * 7) % 256)  AS b_sum
+FROM ids, grid
+GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1663,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simple queries that are green in r1+r2+r3, so a bounded prefix
     # never ships an unverified operator.
     return {
+        "multimodal_real_decode": q_multimodal_real_decode,
         "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1722,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
         "cdc_lww_latest": SQL_CDC_LWW_LATEST,
         "cdc_apply_final_state": SQL_CDC_APPLY_FINAL_STATE,
         "conversation_reassembly": SQL_CONVERSATION_REASSEMBLY,

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this container): ``decode_stub`` produces a deterministic fake feature
-vector from the bytes so the Spark-side plumbing — schema, batch shape,
-partitioning — is fully real and testable. Swap ``_fake_decode`` for a
-PIL/torchaudio call in production; nothing else changes.
+Decode is REAL where the container's toolchain allows it — P6 PPM
+images (pure numpy parse, box-average resize, re-encode) and PCM WAV
+audio (stdlib ``wave`` + numpy) in :func:`decode_media` /
+:func:`resize_ppm_images`, with deterministic synthetic generators for
+tests. Codecs that genuinely need external libraries (JPEG, MP4 frame
+extraction) remain honestly stubbed: ``_fake_decode`` produces a
+deterministic byte-statistics vector so the Spark-side plumbing —
+schema, batch shape, partitioning — stays fully testable, and
+production swaps in PIL/ffmpeg at the same seam.
 """
 
 from __future__ import annotations
@@ -183,9 +187,279 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
-    """Real decoder entry point — requires PIL/torchaudio/ffmpeg, which
-    this container does not ship."""
+    """Stub seam for codecs the container can't decode (JPEG/PNG, MP4).
+    PPM images and PCM WAV audio decode for real — see
+    :func:`decode_media` / :func:`resize_ppm_images`."""
     raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "use extract_features (deterministic fake) for plumbing tests"
+        "JPEG/PNG/MP4 codecs are not available in this environment; "
+        "PPM/WAV payloads decode for real via decode_media()"
     )
+
+
+# ---------- REAL decode: formats the stdlib + numpy can handle ----------
+
+
+def decode_ppm(b: bytes):
+    """Parse a binary P6 PPM (the simplest real raster format: ASCII
+    header ``P6 <w> <h> <maxval>`` then raw RGB bytes) into an
+    (h, w, 3) uint8 numpy array. Pure numpy — no imaging library."""
+    import numpy as np
+
+    if b is None or not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: three whitespace-separated ints after the magic, comments
+    # (#...) allowed between tokens per the spec
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_wav(b: bytes):
+    """Parse a PCM WAV via the stdlib ``wave`` module into
+    (float32 mono samples in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        channels = f.getnchannels()
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def _image_features(arr, dim: int):
+    """Real pixel features: per-channel mean/std + a coarse grid of
+    channel means, truncated/padded to ``dim``. Vectorized numpy."""
+    import numpy as np
+
+    a = arr.astype(np.float32) / 255.0
+    feats = [a.mean(axis=(0, 1)), a.std(axis=(0, 1))]
+    g = 2
+    h, w = a.shape[0], a.shape[1]
+    for gy in range(g):
+        for gx in range(g):
+            cell = a[gy * h // g : (gy + 1) * h // g or 1,
+                     gx * w // g : (gx + 1) * w // g or 1]
+            feats.append(cell.reshape(-1, 3).mean(axis=0))
+    v = np.concatenate(feats)
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, v.size)] = v[:dim]
+    return out
+
+
+def _audio_features(x, rate: int, dim: int):
+    """Real audio features: global RMS + windowed RMS envelope over
+    ``dim - 1`` equal windows. Vectorized numpy."""
+    import numpy as np
+
+    out = np.zeros(dim, dtype=np.float32)
+    if x.size == 0:
+        return out
+    out[0] = float(np.sqrt(np.mean(x * x)))
+    nw = max(dim - 1, 1)
+    edges = np.linspace(0, x.size, nw + 1).astype(np.int64)
+    for k in range(min(nw, dim - 1)):
+        seg = x[edges[k] : max(edges[k + 1], edges[k] + 1)]
+        out[k + 1] = float(np.sqrt(np.mean(seg * seg)))
+    return out
+
+
+def decode_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL decode over ``mapInPandas``: P6 PPM payloads decode to
+    pixel-statistics features, PCM WAV payloads to RMS-envelope
+    features — byte-exact, no imaging/audio library. Unknown payloads
+    (JPEG, MP4, text) fall back to the deterministic byte-statistics
+    vector so mixed corpora never fail mid-batch; same output schema
+    as :func:`extract_features`."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b):
+            if b is None:
+                return np.zeros(dim, dtype=np.float32)
+            if b.startswith(b"P6"):
+                return _image_features(decode_ppm(b), dim)
+            if b.startswith(b"RIFF"):
+                return _audio_features(*decode_wav(b), dim)
+            return _fake_decode(pd.Series([b]), dim).iloc[0]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "feature": pdf["payload"].map(one),
+                }
+            )
+
+    return media.mapInPandas(process, FEATURE_SCHEMA)
+
+
+def resize_ppm_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL aspect-preserving downscale for P6 PPM payloads: decode,
+    box-average over integer factors (exact, deterministic — no
+    resampling-kernel ambiguity), re-encode. Non-PPM payloads pass
+    through with the dimension arithmetic only (the stub contract)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b):
+            if b is None or not b.startswith(b"P6"):
+                return b, None, None
+            a = decode_ppm(b)
+            h, w = a.shape[0], a.shape[1]
+            f = max(1, -(-max(h, w) // max_side))  # ceil: factor to fit
+            oh, ow = h // f or 1, w // f or 1
+            # exact box average over f x f blocks (trailing remainder
+            # rows/cols drop — integer-factor semantics)
+            a = a[: oh * f, : ow * f].reshape(oh, f, ow, f, 3)
+            small = a.astype(np.float32).mean(axis=(1, 3)).round().astype(np.uint8)
+            return encode_ppm(small), ow, oh
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(one)
+            w = pdf["width"].to_numpy(dtype="float64")
+            h = pdf["height"].to_numpy(dtype="float64")
+            import numpy as np
+
+            scale = np.minimum(1.0, max_side / np.maximum(np.maximum(w, h), 1.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": [
+                        d[1] if d[1] is not None else int(wv * sv)
+                        for d, wv, sv in zip(decoded, w, scale)
+                    ],
+                    "out_height": [
+                        d[2] if d[2] is not None else int(hv * sv)
+                        for d, hv, sv in zip(decoded, h, scale)
+                    ],
+                    "payload": [d[0] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(process, RESIZED_SCHEMA)
+
+
+PPM_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+    ]
+)
+
+
+def ppm_channel_sums(media: DataFrame) -> DataFrame:
+    """Byte-exact certification of the REAL PPM decode: per-image
+    integer channel sums over the decoded pixels. Integer arithmetic
+    end-to-end, so an independent engine recomputing the synthetic
+    pattern must match EXACTLY — no float-rounding escape hatch."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                s = decode_ppm(bytes(b)).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((int(mid), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=["media_id", "r_sum", "g_sum", "b_sum"])
+
+    return media.mapInPandas(process, PPM_SUMS_SCHEMA)
+
+
+def synthetic_ppm_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Deterministic REAL PPM payloads (per-id gradient pattern),
+    generated distributed via ``mapInPandas`` — each row's pixels are a
+    pure function of media_id, so tests and oracles can recompute
+    expectations exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                yy, xx = np.mgrid[0:height, 0:width]
+                r = (xx * 8 + mid) % 256
+                g = (yy * 8 + mid * 3) % 256
+                bl = (xx + yy + mid * 7) % 256
+                arr = np.stack([r, g, bl], axis=-1).astype(np.uint8)
+                rows.append((int(mid), "image", encode_ppm(arr), width, height, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int, rate: int = 8000, seconds: float = 0.25) -> DataFrame:
+    """Deterministic REAL PCM WAV payloads (per-id sine tone) via the
+    stdlib ``wave`` writer — pure function of media_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            t = np.arange(int(rate * seconds)) / rate
+            for mid in pdf["id"]:
+                freq = 220.0 + 55.0 * (int(mid) % 8)
+                x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(x.tobytes())
+                rows.append((int(mid), "audio", buf.getvalue(), None, None,
+                             int(seconds * 1000)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)

@@ -265,3 +265,72 @@ def test_dedup_cache_survives_dead_cached_frame(spark):
     out = dedup.jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
     assert out.count() == 1  # recovered and computed normally
     dedup.release_caches()
+
+
+def test_ppm_decode_resize_roundtrip(spark):
+    """REAL image path: synthetic P6 PPM payloads decode to exact pixel
+    statistics and box-average resize is numerically exact — no imaging
+    library, pure numpy, distributed via mapInPandas."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_ppm_media(spark, 6, width=32, height=24)
+    rows = {r["media_id"]: r for r in mm.decode_media(media, dim=16).collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        # recompute the expected per-channel means locally
+        yy, xx = np.mgrid[0:24, 0:32]
+        arr = np.stack([(xx * 8 + mid) % 256, (yy * 8 + mid * 3) % 256,
+                        (xx + yy + mid * 7) % 256], axis=-1).astype(np.uint8)
+        want = (arr.astype(np.float32) / 255.0).mean(axis=(0, 1))
+        got = np.array(r["feature"][:3])
+        assert np.allclose(got, want, atol=1e-6)
+
+    small = {r["media_id"]: r for r in mm.resize_ppm_images(media, max_side=8).collect()}
+    for mid, r in small.items():
+        assert (r["out_width"], r["out_height"]) == (8, 6)  # 32x24 / 4
+        arr = mm.decode_ppm(bytes(r["payload"]))
+        assert arr.shape == (6, 8, 3)
+        # exact box average of the known source pattern
+        yy, xx = np.mgrid[0:24, 0:32]
+        src = np.stack([(xx * 8 + mid) % 256, (yy * 8 + mid * 3) % 256,
+                        (xx + yy + mid * 7) % 256], axis=-1).astype(np.float32)
+        want = src.reshape(6, 4, 8, 4, 3).mean(axis=(1, 3)).round().astype(np.uint8)
+        assert (arr == want).all()
+
+
+def test_wav_decode_rms(spark):
+    """REAL audio path: stdlib-written PCM WAV payloads decode to the
+    exact RMS a local numpy computation predicts (sine RMS ~ 0.5/√2)."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_wav_media(spark, 4, rate=8000, seconds=0.25)
+    rows = {r["media_id"]: r for r in mm.decode_media(media, dim=8).collect()}
+    assert len(rows) == 4
+    for mid, r in rows.items():
+        t = np.arange(2000) / 8000.0
+        freq = 220.0 + 55.0 * (mid % 8)
+        x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+        want = float(np.sqrt(np.mean((x / 32768.0) ** 2)))
+        assert abs(r["feature"][0] - want) < 1e-6
+        # envelope windows of a steady tone are all ~ the global RMS
+        assert np.allclose(np.array(r["feature"][1:]), want, atol=0.02)
+
+
+def test_decode_media_mixed_corpus_fallback(spark):
+    """Mixed corpora: PPM and WAV decode for real, unknown payloads
+    (plain text bytes) fall back to the deterministic stub instead of
+    failing the batch."""
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    ppm = mm.synthetic_ppm_media(spark, 2)
+    wav = mm.synthetic_wav_media(spark, 2)
+    docs = spark.createDataFrame([(100, "note text")], ["doc_id", "text"])
+    txt = mm.documents_as_media(docs, kind="image")
+    allm = ppm.unionByName(wav).unionByName(txt)
+    out = mm.decode_media(allm, dim=8).collect()
+    assert len(out) == 5
+    assert all(len(r["feature"]) == 8 for r in out)
