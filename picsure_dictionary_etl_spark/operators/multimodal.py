@@ -315,10 +315,16 @@ def decode_media(media: DataFrame, dim: int = 16) -> DataFrame:
         def one(b):
             if b is None:
                 return np.zeros(dim, dtype=np.float32)
-            if b.startswith(b"P6"):
-                return _image_features(decode_ppm(b), dim)
-            if b.startswith(b"RIFF"):
-                return _audio_features(*decode_wav(b), dim)
+            try:
+                if b.startswith(b"P6"):
+                    return _image_features(decode_ppm(b), dim)
+                if b.startswith(b"RIFF"):
+                    return _audio_features(*decode_wav(b), dim)
+            except Exception:
+                # truncated/corrupt container: fall through to the
+                # byte-statistics vector — one bad payload must never
+                # fail the whole Arrow batch
+                pass
             return _fake_decode(pd.Series([b]), dim).iloc[0]
 
         for pdf in batches:

@@ -334,3 +334,20 @@ def test_decode_media_mixed_corpus_fallback(spark):
     out = mm.decode_media(allm, dim=8).collect()
     assert len(out) == 5
     assert all(len(r["feature"]) == 8 for r in out)
+
+
+def test_decode_media_corrupt_payloads_dont_fail_batch(spark):
+    """Truncated P6 / RIFF payloads fall back to the byte-stats vector
+    instead of failing the whole Arrow batch."""
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", bytearray(b"P6\n32 24\n255\n\x01\x02"), 32, 24, None),  # truncated
+        (2, "audio", bytearray(b"RIFFjunk"), None, None, 100),               # corrupt
+        (3, "image", None, 1, 1, None),                                      # null
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.decode_media(media, dim=4).collect()}
+    assert len(out) == 3
+    assert all(len(r["feature"]) == 4 for r in out.values())
+    assert list(out[3]["feature"]) == [0.0, 0.0, 0.0, 0.0]

@@ -326,3 +326,80 @@ def test_change_feed_consumer_exactly_once_downstream(spark, tmp_path):
     live = resolve_live(t.read(), TRANSCRIPT_KEY, _payload_cols(snap))
     want = {(r["conv_id"], r["turn_idx"]): r["text"] for r in live.collect()}
     assert mirror == want
+
+
+def test_change_feed_consumer_property_hypothesis(spark, tmp_path):
+    """Property: for ANY event sequence split into ANY number of
+    commits, a consumer that randomly interleaves polls, crashes
+    (poll without ack) and fresh-handle restarts converges its mirror
+    to the sequential pandas oracle state."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from picsure_dictionary_etl_spark.lake.consume import ChangeFeedConsumer
+
+    event = st.tuples(
+        st.integers(0, 2), st.integers(0, 2),
+        st.sampled_from(["I", "U", "D"]),
+        st.text(alphabet="ab", max_size=3),
+    )
+    counter = {"n": 0}
+
+    @given(
+        st.lists(event, min_size=1, max_size=14),
+        st.lists(st.integers(0, 14), max_size=3),   # commit cut points
+        st.lists(st.booleans(), min_size=1, max_size=6),  # ack? per poll
+    )
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(seq, cuts, acks):
+        counter["n"] += 1
+        root = str(tmp_path / f"c{counter['n']}")
+        t = LakeTable.create(
+            spark, root, schema=transcript_table_schema(),
+            key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+        )
+        bounds = sorted({min(c, len(seq)) for c in cuts} | {len(seq)})
+        lo = 0
+        for bi, hi in enumerate(bounds):
+            if hi <= lo:
+                continue
+            rows = [(lo + i, op, f"c{conv}", turn, "user", text, None, None)
+                    for i, (conv, turn, op, text) in enumerate(seq[lo:hi])]
+            merge_into(t, spark.createDataFrame(rows, change_event_schema()),
+                       f"b{bi}")
+            lo = hi
+
+        mirror: dict = {}
+
+        def apply(df, f, to):
+            for r in df.collect():
+                k = (r["conv_id"], r["turn_idx"])
+                if r["_change"] == "D":
+                    mirror.pop(k, None)
+                else:
+                    mirror[k] = r["text"]
+
+        ckpt = str(tmp_path / f"c{counter['n']}_ckpt")
+        for ack in acks:
+            c = ChangeFeedConsumer(t, ckpt)  # fresh handle = restart
+            b = c.poll()
+            if b is None:
+                break
+            apply(b.df, b.from_version, b.to_version)
+            if ack:
+                b.ack()
+            # no ack = crash before checkpoint: redelivery re-applies
+            # the same diff; patches are idempotent so mirror is safe
+        ChangeFeedConsumer(t, ckpt).consume(apply)  # drain
+
+        oracle: dict = {}
+        for conv, turn, op, text in seq:
+            k = (f"c{conv}", turn)
+            if op == "D":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = text
+        assert mirror == oracle
+
+    check()
