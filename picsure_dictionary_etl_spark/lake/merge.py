@@ -741,6 +741,45 @@ def _mor_write(
     return appends, replaces, to_compact, new_sizes
 
 
+def rebucket(table: LakeTable, new_bucket_count: int) -> "Snapshot":
+    """Change the table's bucket layout — the operational escape hatch
+    for a bucket_count chosen at create time that the data outgrew
+    (32 buckets at 10^8 rows is right; at 10^10 each bucket is 300x too
+    fat for a single compaction task).
+
+    One-time O(table) rewrite, exactly like Iceberg's
+    ``rewrite_data_files`` after a partition-spec change: resolve the
+    live state (policy-aware), re-hash under the new count, write
+    key-sorted bases, and commit a snapshot that REPLACES every old
+    bucket (explicit ``[]`` entries — the empty-bucket guard — so no
+    stale file list survives) with the new layout. Exactly-once
+    bookkeeping (watermark, applied batches) carries through untouched;
+    merges after the commit read the new ``bucket_count`` from the
+    snapshot, so nothing else changes. Rebucketing changes no live row:
+    ``table_changes`` across the boundary is empty (tested)."""
+    snap = table.current()
+    if new_bucket_count == snap.bucket_count:
+        return snap
+    if new_bucket_count < 1:
+        raise ValueError(f"bucket_count must be >= 1, got {new_bucket_count}")
+    keys, payload = snap.key_cols, _payload_cols(snap)
+    raw = _read_raw(table, snap, keys, payload, rel_files=snap.all_files())
+    live = resolve_live(
+        raw, keys, payload,
+        policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+    ).withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, new_bucket_count))
+    version = snap.version + 1
+    replaces = {b: [] for b in snap.files}
+    replaces.update(
+        table.write_data_files(live, version, subdir="base", sort_cols=keys)
+    )
+    return table.commit(
+        {}, replaces, None,
+        {"rebucket": {"from": snap.bucket_count, "to": new_bucket_count}},
+        prev=snap, bucket_count=new_bucket_count,
+    )
+
+
 def table_changes(
     table: LakeTable, from_version: int, to_version: int
 ) -> DataFrame:
@@ -772,13 +811,21 @@ def table_changes(
 
     pol_from = snap_from.properties.get("update_policy", "row")
     pol_to = snap_to.properties.get("update_policy", "row")
-    if pol_from == pol_to:
+    same_layout = (
+        snap_from.bucket_count == snap_to.bucket_count
+        and snap_from.bucket_by == snap_to.bucket_by
+    )
+    if pol_from == pol_to and same_layout:
         changed = sorted(
             b
             for b in set(snap_from.files) | set(snap_to.files)
             if snap_from.files.get(b) != snap_to.files.get(b)
         )
     else:
+        # resolution policy or bucket layout differs across the span
+        # (rebucket writes all-new files so the metadata diff would
+        # already flag everything — this guard makes it an invariant,
+        # not a coincidence)
         changed = sorted(set(snap_from.files) | set(snap_to.files))
 
     def live(snap, policy: str) -> DataFrame:

@@ -421,6 +421,7 @@ class LakeTable:
         lineage: dict[str, Any] | None = None,
         prev: Snapshot | None = None,
         file_sizes_hint: dict[str, int] | None = None,
+        bucket_count: int | None = None,
     ) -> Snapshot:
         """Produce snapshot N+1: ``appends`` extend a bucket's file list
         (merge-on-read deltas); ``replaces`` swap it wholesale (copy-on-
@@ -428,7 +429,8 @@ class LakeTable:
         ``prev`` lets a single-writer caller that already holds the
         current snapshot skip the re-read (the manifest's file map is
         O(table) JSON — and a remote round trip on catalog commit
-        points)."""
+        points). ``bucket_count`` overrides the layout — ONLY valid
+        when ``replaces`` rewrote every bucket (the rebucket op)."""
         prev = prev or self.current()
         files = dict(prev.files)
         for b, fl in appends.items():
@@ -459,7 +461,7 @@ class LakeTable:
             version=prev.version + 1,
             parent=prev.version,
             schema_json=prev.schema_json,
-            bucket_count=prev.bucket_count,
+            bucket_count=bucket_count or prev.bucket_count,
             key_cols=prev.key_cols,
             bucket_by=prev.bucket_by,
             files=files,

@@ -441,3 +441,66 @@ def test_manifest_records_file_sizes_and_trigger_avoids_stats(spark, tmp_path):
     assert statted, "no stats at all — trigger and commit both idle?"
     assert not (set(statted) & old_files), (
         "trigger re-statted committed files instead of reading the manifest")
+
+
+def test_rebucket_preserves_state_and_bookkeeping(spark, tmp_path):
+    """rebucket(): live state identical under the new layout, CDF
+    across the boundary is EMPTY (no row changed), exactly-once
+    bookkeeping carries through, and subsequent merges use the new
+    bucket count."""
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import (
+        _payload_cols,
+        merge_into,
+        rebucket,
+        resolve_live,
+        table_changes,
+    )
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rb"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=4,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, change_event_schema())
+
+    rows = [(i + 1, "I", f"c{i % 20}", i % 5, "user", f"t{i}", None, None)
+            for i in range(200)]
+    merge_into(t, ev(rows), "b0")
+    merge_into(t, ev([(300, "U", "c3", 0, "user", "edited", None, None),
+                      (301, "D", "c4", 4, None, None, None, None)]), "b1")
+
+    def state():
+        snap = t.current()
+        live = resolve_live(t.read(), TRANSCRIPT_KEY, _payload_cols(snap))
+        return {(r["conv_id"], r["turn_idx"]): r["text"] for r in live.collect()}
+
+    before, v_before = state(), t.current().version
+    snap2 = rebucket(t, 16)
+    assert snap2.bucket_count == 16
+    assert state() == before                       # no live row changed
+    assert t.watermark() == 301                    # bookkeeping intact
+    assert "b1" in t.applied_batch_ids()
+    assert table_changes(t, v_before, snap2.version).count() == 0  # empty CDF
+    assert len(t.current().files) > 4              # actually spread wider
+    # old 4-bucket file lists are fully gone (explicit [] replaces)
+    assert all(
+        f.startswith(f"data/c{snap2.version:08d}")
+        for fl in t.current().files.values() for f in fl
+    )
+
+    # redelivery of an applied batch is still a no-op; new merges land
+    # in the 16-bucket layout
+    assert merge_into(t, ev([(300, "U", "c3", 0, "user", "edited", None,
+                              None)]), "b1").metrics.get("skipped_duplicate_batch")
+    merge_into(t, ev([(400, "I", "c99", 0, "user", "post", None, None)]), "b2")
+    after = state()
+    assert after[("c99", 0)] == "post" and after[("c3", 0)] == "edited"
+    # rebucket to the same count is a no-op commit-wise
+    assert rebucket(t, 16).version == t.current().version
