@@ -26,9 +26,25 @@ import os
 
 from pyspark.sql import DataFrame
 
-from picsure_dictionary_etl_spark.lake.merge import table_changes
-from picsure_dictionary_etl_spark.lake.metadata_io import MetadataIO, PosixMetadataIO
+from pyspark.sql import functions as F
+
+from picsure_dictionary_etl_spark.lake.merge import (
+    LSN_COL,
+    _payload_cols,
+    resolve_live,
+    table_changes,
+)
+from picsure_dictionary_etl_spark.lake.metadata_io import MetadataIO
 from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+
+class ChangeFeedRetentionError(RuntimeError):
+    """The consumer's acked version has fallen behind the table's
+    snapshot retention (vacuum removed the manifest its next diff needs)
+    — the same condition as a Kafka consumer past the log's retention
+    horizon. Recover by re-bootstrapping (a fresh checkpoint re-emits
+    the full live state as inserts) or raise ``vacuum``'s
+    ``keep_snapshots`` to cover the slowest consumer's lag."""
 
 
 class ChangeBatch:
@@ -57,7 +73,12 @@ class ChangeFeedConsumer:
     ):
         self.table = table
         self.checkpoint_path = checkpoint_path
-        self.io = io or PosixMetadataIO()
+        # default to the TABLE's commit-point IO so the checkpoint
+        # really does live behind the same protocol / failure domain
+        # (a URI-rooted table gets the Hadoop plane, a catalog-backed
+        # table its catalog client) — a plain-POSIX default silently
+        # downgraded exactly the deployments that need it most
+        self.io = io or table.io
         self.start_version = start_version
         parent = os.path.dirname(checkpoint_path)
         if parent:
@@ -81,12 +102,42 @@ class ChangeFeedConsumer:
     def poll(self) -> ChangeBatch | None:
         """The diff from the last acked version to the table's current
         version, or None when caught up. Does not advance the
-        checkpoint — the caller applies the batch, then ``ack()``s."""
+        checkpoint — the caller applies the batch, then ``ack()``s.
+
+        Retention interplay: diffs need BOTH manifests. If vacuum
+        removed the from-version's manifest, a consumer that never
+        acked anything bootstraps (full live state as inserts — it has
+        applied nothing, so that IS its diff); a consumer with applied
+        state raises :class:`ChangeFeedRetentionError` instead of
+        silently re-emitting the world as updates."""
         last = self.acked_version()
         cur = self.table.current_version()
         if cur <= last:
             return None
+        try:
+            self.table.snapshot(last)
+        except FileNotFoundError:
+            if last == self.start_version:
+                return ChangeBatch(self, self._bootstrap_df(), last, cur)
+            raise ChangeFeedRetentionError(
+                f"acked version {last} of {self.table.root} is beyond snapshot "
+                f"retention (oldest manifests vacuumed); re-bootstrap with a "
+                f"fresh checkpoint or raise vacuum keep_snapshots"
+            ) from None
         return ChangeBatch(self, table_changes(self.table, last, cur), last, cur)
+
+    def _bootstrap_df(self):
+        """Full live state classified as inserts — schema-identical to
+        a :func:`~.merge.table_changes` diff from the empty table."""
+        snap = self.table.current()
+        keys, payload = snap.key_cols, _payload_cols(snap)
+        live = resolve_live(
+            self.table.read(), keys, payload,
+            policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+        )
+        return live.select(
+            F.lit("I").alias("_change"), *keys, *payload, F.col(LSN_COL)
+        )
 
     def consume(self, apply_fn, max_batches: int | None = None) -> int:
         """Drain loop: poll → ``apply_fn(df, from_v, to_v)`` → ack,

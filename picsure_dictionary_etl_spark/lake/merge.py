@@ -775,7 +775,15 @@ def rebucket(table: LakeTable, new_bucket_count: int) -> "Snapshot":
     )
     return table.commit(
         {}, replaces, None,
-        {"rebucket": {"from": snap.bucket_count, "to": new_bucket_count}},
+        {
+            # retry-stable batch id: a rebucket killed between claim and
+            # pointer swap leaves a claim whose data dirs are
+            # attempt-unique, so full-JSON intent equality can never
+            # match — without this id the retry (and every later
+            # commit) would die on ConcurrentCommitError forever
+            "batch_id": f"rebucket-{snap.bucket_count}-{new_bucket_count}-v{version}",
+            "rebucket": {"from": snap.bucket_count, "to": new_bucket_count},
+        },
         prev=snap, bucket_count=new_bucket_count,
     )
 

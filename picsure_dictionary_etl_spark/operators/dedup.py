@@ -39,7 +39,11 @@ _live_cache: list[DataFrame] = []
 def _cache_scoped(df: DataFrame) -> DataFrame:
     # a semantically identical frame (same source, cols, n) reuses the
     # live cache entry — repeated dedup passes over the same corpus
-    # (re-runs, jaccard THEN containment) skip the re-explode entirely
+    # (re-runs, jaccard THEN containment) skip the re-explode entirely.
+    # Staleness contract: identical to Spark's own CacheManager (a
+    # persisted plan does not see files added to its source path
+    # afterwards) — after mutating the source, call release_caches()
+    # exactly as you would unpersist/refreshTable in stock Spark.
     if _live_cache:
         try:
             if _live_cache[0].sameSemantics(df):

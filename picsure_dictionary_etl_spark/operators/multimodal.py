@@ -312,9 +312,8 @@ def decode_media(media: DataFrame, dim: int = 16) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def one(b):
-            if b is None:
-                return np.zeros(dim, dtype=np.float32)
+        def real(b):
+            """Decoded feature, or None -> byte-stats fallback."""
             try:
                 if b.startswith(b"P6"):
                     return _image_features(decode_ppm(b), dim)
@@ -325,15 +324,29 @@ def decode_media(media: DataFrame, dim: int = 16) -> DataFrame:
                 # byte-statistics vector — one bad payload must never
                 # fail the whole Arrow batch
                 pass
-            return _fake_decode(pd.Series([b]), dim).iloc[0]
+            return None
 
         for pdf in batches:
+            payload = pdf["payload"]
+            decoded = [None if b is None else real(b) for b in payload]
+            need_fake = [
+                i for i, (b, d) in enumerate(zip(payload, decoded))
+                if d is None and b is not None
+            ]
+            if need_fake:
+                # unknown codecs (JPEG, text, ...) run ONE vectorized
+                # fake-decode over the whole remainder — not a per-row
+                # pd.Series construction each
+                fakes = _fake_decode(payload.iloc[need_fake], dim)
+                for i, f in zip(need_fake, fakes):
+                    decoded[i] = f
+            zero = np.zeros(dim, dtype=np.float32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
-                    "feature": pdf["payload"].map(one),
+                    "n_bytes": payload.map(lambda b: 0 if b is None else len(b)),
+                    "feature": [zero if d is None else d for d in decoded],
                 }
             )
 
@@ -347,12 +360,20 @@ def resize_ppm_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     through with the dimension arithmetic only (the stub contract)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         def one(b):
-            if b is None or not b.startswith(b"P6"):
+            # corrupt/truncated P6 falls through to passthrough — one
+            # bad payload must never fail the whole Arrow batch (same
+            # contract as decode_media)
+            try:
+                if b is None or not b.startswith(b"P6"):
+                    return b, None, None
+                a = decode_ppm(b)
+            except Exception:
                 return b, None, None
-            a = decode_ppm(b)
             h, w = a.shape[0], a.shape[1]
             f = max(1, -(-max(h, w) // max_side))  # ceil: factor to fit
             oh, ow = h // f or 1, w // f or 1
@@ -362,25 +383,34 @@ def resize_ppm_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             small = a.astype(np.float32).mean(axis=(1, 3)).round().astype(np.uint8)
             return encode_ppm(small), ow, oh
 
+        def meta_dim(v):
+            # null width/height metadata (audio rows in a mixed corpus)
+            # stays null instead of crashing int(nan)
+            return None if v is None or math.isnan(v) else int(v)
+
         for pdf in batches:
             decoded = pdf["payload"].map(one)
-            w = pdf["width"].to_numpy(dtype="float64")
-            h = pdf["height"].to_numpy(dtype="float64")
-            import numpy as np
-
+            w = pdf["width"].to_numpy(dtype="float64", na_value=float("nan"))
+            h = pdf["height"].to_numpy(dtype="float64", na_value=float("nan"))
             scale = np.minimum(1.0, max_side / np.maximum(np.maximum(w, h), 1.0))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "out_width": [
-                        d[1] if d[1] is not None else int(wv * sv)
-                        for d, wv, sv in zip(decoded, w, scale)
-                    ],
-                    "out_height": [
-                        d[2] if d[2] is not None else int(hv * sv)
-                        for d, hv, sv in zip(decoded, h, scale)
-                    ],
+                    "out_width": pd.array(
+                        [
+                            d[1] if d[1] is not None else meta_dim(wv * sv)
+                            for d, wv, sv in zip(decoded, w, scale)
+                        ],
+                        dtype="Int32",
+                    ),
+                    "out_height": pd.array(
+                        [
+                            d[2] if d[2] is not None else meta_dim(hv * sv)
+                            for d, hv, sv in zip(decoded, h, scale)
+                        ],
+                        dtype="Int32",
+                    ),
                     "payload": [d[0] for d in decoded],
                 }
             )

@@ -504,3 +504,40 @@ def test_rebucket_preserves_state_and_bookkeeping(spark, tmp_path):
     assert after[("c99", 0)] == "post" and after[("c3", 0)] == "edited"
     # rebucket to the same count is a no-op commit-wise
     assert rebucket(t, 16).version == t.current().version
+
+
+def test_rebucket_crashed_claim_is_taken_over(spark, tmp_path):
+    """A rebucket killed between manifest claim and pointer swap must be
+    retryable: the retry-stable batch id makes the orphan claim a
+    takeover, not a permanent ConcurrentCommitError."""
+    import json
+
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, rebucket
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rk"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+    merge_into(t, spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "x", None, None)],
+        change_event_schema()), "b0")
+    v = t.current().version
+
+    # simulate the crashed attempt: claim v+1 with the rebucket batch id
+    # (attempt-unique data dirs -> manifest bytes differ from any retry)
+    orphan = json.loads(t.current().to_json())
+    orphan["version"], orphan["parent"] = v + 1, v
+    orphan["lineage"] = {"batch_id": f"rebucket-2-8-v{v + 1}"}
+    assert t.io.create_exclusive(
+        f"{t.root}/_meta/snap-{v + 1:08d}.json", json.dumps(orphan))
+    assert t.current().version == v
+
+    snap = rebucket(t, 8)  # retry takes the claim over
+    assert snap.version == v + 1 and snap.bucket_count == 8
+    assert t.read().count() == 1

@@ -351,3 +351,25 @@ def test_decode_media_corrupt_payloads_dont_fail_batch(spark):
     assert len(out) == 3
     assert all(len(r["feature"]) == 4 for r in out.values())
     assert list(out[3]["feature"]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_resize_ppm_mixed_corpus_and_corrupt(spark):
+    """resize_ppm_images: audio rows (null width/height) and corrupt P6
+    payloads pass through instead of crashing the Arrow batch."""
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    good = mm.synthetic_ppm_media(spark, 2)
+    wav = mm.synthetic_wav_media(spark, 1)
+    bad = spark.createDataFrame(
+        [(77, "image", bytearray(b"P6\n32 24\n255\nxx"), 32, 24, None)],
+        mm.MEDIA_SCHEMA)
+    out = {(r["media_id"], r["kind"]): r
+           for r in mm.resize_ppm_images(
+               good.unionByName(wav).unionByName(bad), max_side=8).collect()}
+    assert len(out) == 4
+    assert out[(0, "image")]["out_width"] == 8
+    assert out[(0, "image")]["out_height"] == 6
+    assert out[(77, "image")]["out_width"] == 8  # corrupt: metadata math only
+    assert bytes(out[(77, "image")]["payload"]).startswith(b"P6\n32 24")
+    wav_row = out[(0, "audio")]
+    assert wav_row["out_width"] is None and wav_row["out_height"] is None

@@ -403,3 +403,45 @@ def test_change_feed_consumer_property_hypothesis(spark, tmp_path):
         assert mirror == oracle
 
     check()
+
+
+def test_consumer_retention_bootstrap_and_error(spark, tmp_path):
+    """Vacuumed-away manifests: a NEVER-acked consumer bootstraps (full
+    live state as inserts); a lagging consumer gets a typed
+    ChangeFeedRetentionError, never a raw FileNotFoundError."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.consume import (
+        ChangeFeedConsumer,
+        ChangeFeedRetentionError,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ret"), schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"], bucket_count=2,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, change_event_schema())
+
+    lagging = ChangeFeedConsumer(t, str(tmp_path / "lag_ckpt"))
+    for i in range(4):
+        merge_into(t, ev([(i + 1, "I", f"c{i}", 0, "user", f"t{i}", None,
+                           TS)]), f"b{i}")
+        if i == 0:
+            b = lagging.poll()
+            b.ack()  # lagging consumer acked v1, then fell behind
+    t.vacuum(keep_snapshots=2)  # snap-0..2 manifests gone
+
+    # fresh consumer: snapshot(0) is vacuumed -> bootstrap as inserts
+    fresh = ChangeFeedConsumer(t, str(tmp_path / "fresh_ckpt"))
+    batch = fresh.poll()
+    got = {(r["conv_id"], r["turn_idx"]): (r["_change"], r["text"])
+           for r in batch.df.collect()}
+    assert got == {(f"c{i}", 0): ("I", f"t{i}") for i in range(4)}
+    batch.ack()
+    assert fresh.poll() is None  # bootstrapped and caught up
+
+    # lagging consumer (acked v1, also vacuumed): typed retention error
+    with pytest.raises(ChangeFeedRetentionError, match="re-bootstrap"):
+        lagging.poll()
