@@ -1666,9 +1666,9 @@ grid AS (
        (SELECT unnest(generate_series(0, 23)) AS y) ys
 )
 SELECT media_id,
-       sum((x * 8 + media_id) % 256)      AS r_sum,
-       sum((y * 8 + media_id * 3) % 256)  AS g_sum,
-       sum((x + y + media_id * 7) % 256)  AS b_sum
+       CAST(sum((x * 8 + media_id) % 256) AS BIGINT)      AS r_sum,
+       CAST(sum((y * 8 + media_id * 3) % 256) AS BIGINT)  AS g_sum,
+       CAST(sum((x + y + media_id * 7) % 256) AS BIGINT)  AS b_sum
 FROM ids, grid
 GROUP BY media_id
 """

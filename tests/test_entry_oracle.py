@@ -29,23 +29,45 @@ def ddb():
     return con
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the comparison kind the driver's
+    dtype-aware hash distinguishes: integer / float / bool / other.
+    An int64 column on one side and float64 on the other hash
+    differently in the driver (``95232`` vs ``95232.00``) even when
+    numerically equal — the r4 ``multimodal_real_decode`` failure —
+    so kinds MUST match before values are even compared."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
+def _canon_value(v, kind: str) -> str:
+    """Driver-parity string form: doubles via printf('%.2f'), ints as
+    bare integers, everything else via str()."""
+    if v is None:
+        return "\\0NULL"
+    if kind == "float":
+        if isinstance(v, float) and math.isnan(v):
+            return "\\0NULL"
+        return "%.2f" % float(v)
+    if kind == "int":
+        return str(int(v))
+    if isinstance(v, float) and math.isnan(v):
+        return "\\0NULL"
+    return str(v)
+
+
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
-        col = pdf[c]
-        if col.dtype == object:
-            pdf[c] = col.map(lambda v: None if v is None else str(v))
+        kind = _kind(pdf[c].dtype)
+        pdf[c] = pdf[c].map(lambda v, k=kind: _canon_value(v, k))
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-
-
-def _values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
-    return a == b
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -56,12 +78,17 @@ def test_query_matches_oracle(name, spark, ddb):
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in sorted(got.columns):
+        gk, wk = _kind(got[c].dtype), _kind(want[c].dtype)
+        assert gk == wk, (
+            f"{name}.{c}: dtype-kind mismatch spark={got[c].dtype}({gk}) "
+            f"vs oracle={want[c].dtype}({wk}) — the driver's dtype-aware "
+            f"hash WILL fail on this (r4 multimodal_real_decode trap)"
+        )
     g, w = _canon(got), _canon(want)
     for c in g.columns:
         gv, wv = g[c].tolist(), w[c].tolist()
-        bad = [
-            (i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if not _values_equal(a, b)
-        ]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if a != b]
         assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
 
 
