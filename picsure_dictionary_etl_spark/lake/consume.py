@@ -105,11 +105,14 @@ class ChangeFeedConsumer:
         checkpoint — the caller applies the batch, then ``ack()``s.
 
         Retention interplay: diffs need BOTH manifests. If vacuum
-        removed the from-version's manifest, a consumer that never
-        acked anything bootstraps (full live state as inserts — it has
-        applied nothing, so that IS its diff); a consumer with applied
-        state raises :class:`ChangeFeedRetentionError` instead of
-        silently re-emitting the world as updates."""
+        removed the from-version's manifest, a from-genesis consumer
+        that never acked anything bootstraps (full live state as
+        inserts — it has applied nothing, so that IS its diff). A
+        consumer with applied state — OR one created with a non-zero
+        ``start_version``, whose intent was to SKIP history — raises
+        :class:`ChangeFeedRetentionError` instead: silently widening a
+        vacuumed skip-point into a full-state bootstrap would replay
+        exactly the history the caller asked to skip."""
         last = self.acked_version()
         cur = self.table.current_version()
         if cur <= last:
@@ -117,7 +120,7 @@ class ChangeFeedConsumer:
         try:
             self.table.snapshot(last)
         except FileNotFoundError:
-            if last == self.start_version:
+            if last == self.start_version == 0:
                 return ChangeBatch(self, self._bootstrap_df(), last, cur)
             raise ChangeFeedRetentionError(
                 f"acked version {last} of {self.table.root} is beyond snapshot "

@@ -280,8 +280,16 @@ class HadoopMetadataIO(MetadataIO):
 
     def remove(self, path: str) -> None:
         p = self._Path(path)
-        if not self._fs.delete(p, False) and not self._fs.exists(p):
-            raise FileNotFoundError(path)  # Posix contract parity
+        if not self._fs.delete(p, False):
+            # delete()==False is ambiguous in the Hadoop API: the path
+            # may be gone (missing — POSIX contract says raise
+            # FileNotFoundError) or still present (permissions /
+            # transient FS failure). Swallowing the latter would let
+            # vacuum believe a superseded manifest was removed when it
+            # was not.
+            if not self._fs.exists(p):
+                raise FileNotFoundError(path)
+            raise OSError(f"delete failed but path still exists: {path}")
 
 
 class InMemoryMetadataIO(MetadataIO):

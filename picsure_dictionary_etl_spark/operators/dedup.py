@@ -18,6 +18,8 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,7 +35,16 @@ MERSENNE31 = 2_147_483_647
 # bounds the lifecycle instead: each new dedup call releases the
 # previous call's frame, and release_caches() drops the last one.
 # Steady state therefore holds AT MOST ONE cached shingle frame.
+#
+# Concurrency contract: the registry is guarded by _cache_lock, so
+# concurrent threads cannot corrupt the list — but the CACHE POLICY is
+# last-call-wins by design. Starting a dedup over corpus B releases
+# corpus A's frame; if A's result plans have not been materialized yet
+# they still compute CORRECTLY (Spark recomputes an unpersisted frame)
+# but pay the ~3-5x re-explode. Interleave materialization, not just
+# plan construction, when running multiple corpora.
 _live_cache: list[DataFrame] = []
+_cache_lock = threading.Lock()
 
 
 def _cache_scoped(df: DataFrame) -> DataFrame:
@@ -44,28 +55,34 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     # persisted plan does not see files added to its source path
     # afterwards) — after mutating the source, call release_caches()
     # exactly as you would unpersist/refreshTable in stock Spark.
-    if _live_cache:
-        try:
-            if _live_cache[0].sameSemantics(df):
-                return _live_cache[0]
-        except Exception:
-            # cached frame bound to a stopped SparkSession: treat as a
-            # miss and drop it rather than poisoning the new session
-            _live_cache.clear()
-    release_caches()
-    df = df.persist()
-    _live_cache.append(df)
-    return df
+    with _cache_lock:
+        if _live_cache:
+            try:
+                if _live_cache[0].sameSemantics(df):
+                    return _live_cache[0]
+            except Exception:
+                # cached frame bound to a stopped SparkSession: treat as
+                # a miss and drop it rather than poisoning the session
+                _live_cache.clear()
+        _release_locked()
+        df = df.persist()
+        _live_cache.append(df)
+        return df
 
 
-def release_caches() -> None:
-    """Unpersist any shingle frame a previous dedup call left cached.
-    A frame whose session has been stopped is simply dropped."""
+def _release_locked() -> None:
     while _live_cache:
         try:
             _live_cache.pop().unpersist()
         except Exception:
             pass  # dead session: nothing to release
+
+
+def release_caches() -> None:
+    """Unpersist any shingle frame a previous dedup call left cached.
+    A frame whose session has been stopped is simply dropped."""
+    with _cache_lock:
+        _release_locked()
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -356,8 +356,11 @@ def decode_media(media: DataFrame, dim: int = 16) -> DataFrame:
 def resize_ppm_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """REAL aspect-preserving downscale for P6 PPM payloads: decode,
     box-average over integer factors (exact, deterministic — no
-    resampling-kernel ambiguity), re-encode. Non-PPM payloads pass
-    through with the dimension arithmetic only (the stub contract)."""
+    resampling-kernel ambiguity), re-encode. Rows NOT actually resized
+    (non-PPM kinds, corrupt/truncated P6) pass the original payload
+    through and ECHO the original metadata dims — out_width/out_height
+    always describe the emitted bytes, never a resize that did not
+    happen. For pure dimension arithmetic use :func:`resize_images`."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -392,22 +395,24 @@ def resize_ppm_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             decoded = pdf["payload"].map(one)
             w = pdf["width"].to_numpy(dtype="float64", na_value=float("nan"))
             h = pdf["height"].to_numpy(dtype="float64", na_value=float("nan"))
-            scale = np.minimum(1.0, max_side / np.maximum(np.maximum(w, h), 1.0))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    # passthrough rows echo the ORIGINAL metadata dims:
+                    # the emitted payload is the original bytes, so
+                    # reporting would-have-been resized dims would lie
                     "out_width": pd.array(
                         [
-                            d[1] if d[1] is not None else meta_dim(wv * sv)
-                            for d, wv, sv in zip(decoded, w, scale)
+                            d[1] if d[1] is not None else meta_dim(wv)
+                            for d, wv in zip(decoded, w)
                         ],
                         dtype="Int32",
                     ),
                     "out_height": pd.array(
                         [
-                            d[2] if d[2] is not None else meta_dim(hv * sv)
-                            for d, hv, sv in zip(decoded, h, scale)
+                            d[2] if d[2] is not None else meta_dim(hv)
+                            for d, hv in zip(decoded, h)
                         ],
                         dtype="Int32",
                     ),

@@ -79,11 +79,22 @@ def _next_link(bundle: dict) -> str | None:
 
 def _is_transient(exc: BaseException) -> bool:
     """Retryable HTTP edge: throttling/5xx and network-level failures.
-    Auth/4xx (besides 429) are configuration errors — fail fast."""
+    Auth/4xx (besides 429) and certificate-validation failures are
+    configuration errors — fail fast instead of burning the backoff
+    budget against an endpoint that can never succeed."""
+    import ssl
     import urllib.error
 
     if isinstance(exc, urllib.error.HTTPError):  # before URLError/OSError
         return exc.code in (429, 500, 502, 503, 504)
+    if isinstance(exc, ssl.SSLCertVerificationError):
+        return False  # misconfigured trust store: retries cannot fix it
+    if isinstance(exc, urllib.error.URLError):
+        # URLError wraps the real cause (DNS, refused, SSL...); recurse
+        # so a wrapped cert failure stays fail-fast
+        reason = exc.reason
+        if isinstance(reason, BaseException):
+            return _is_transient(reason)
     return isinstance(exc, (TimeoutError, OSError))
 
 

@@ -246,6 +246,36 @@ def test_retries_exhausted_raises_last_error():
     assert len(pager.calls) == 4  # 1 try + 3 retries, then give up
 
 
+def test_cert_verification_failure_fails_fast():
+    """A broken trust store can never be fixed by retrying: both a bare
+    SSLCertVerificationError and the URLError urllib wraps it in must
+    fail on attempt 1 instead of burning the whole backoff budget
+    (advisor finding r4). Plain network OSErrors stay retryable."""
+    import ssl
+    import urllib.error
+
+    import pytest
+
+    from picsure_dictionary_etl_spark.sources.fhir import (
+        _is_transient,
+        fetch_research_studies,
+    )
+
+    cert = ssl.SSLCertVerificationError("certificate verify failed")
+    assert not _is_transient(cert)
+    assert not _is_transient(urllib.error.URLError(cert))
+    assert _is_transient(ConnectionResetError("peer reset"))
+    assert _is_transient(urllib.error.URLError(ConnectionResetError()))
+    assert _is_transient(urllib.error.URLError("dns lookup failed"))
+
+    pager = _FaultPager([urllib.error.URLError(cert)])
+    with pytest.raises(urllib.error.URLError):
+        fetch_research_studies(
+            "https://x/Bundle", fetch_page=pager,
+            sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    assert len(pager.calls) == 1  # no retry on config errors
+
+
 def test_fatal_4xx_fails_fast():
     import pytest
 

@@ -369,7 +369,10 @@ def test_resize_ppm_mixed_corpus_and_corrupt(spark):
     assert len(out) == 4
     assert out[(0, "image")]["out_width"] == 8
     assert out[(0, "image")]["out_height"] == 6
-    assert out[(77, "image")]["out_width"] == 8  # corrupt: metadata math only
+    # corrupt P6: payload passes through UNresized, so the emitted dims
+    # must echo the original metadata — never the fictitious resize
+    assert out[(77, "image")]["out_width"] == 32
+    assert out[(77, "image")]["out_height"] == 24
     assert bytes(out[(77, "image")]["payload"]).startswith(b"P6\n32 24")
     wav_row = out[(0, "audio")]
     assert wav_row["out_width"] is None and wav_row["out_height"] is None

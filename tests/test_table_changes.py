@@ -445,3 +445,20 @@ def test_consumer_retention_bootstrap_and_error(spark, tmp_path):
     # lagging consumer (acked v1, also vacuumed): typed retention error
     with pytest.raises(ChangeFeedRetentionError, match="re-bootstrap"):
         lagging.poll()
+
+    # non-zero start_version whose manifest was vacuumed: the caller
+    # asked to SKIP history, so silently bootstrapping the full state
+    # would replay exactly what they skipped — typed error instead
+    # (advisor finding r4)
+    skipper = ChangeFeedConsumer(t, str(tmp_path / "skip_ckpt"),
+                                 start_version=1)
+    with pytest.raises(ChangeFeedRetentionError, match="re-bootstrap"):
+        skipper.poll()
+
+    # non-zero start_version still inside retention: plain diff, no
+    # bootstrap — only the vacuumed case is an error
+    recent = ChangeFeedConsumer(t, str(tmp_path / "recent_ckpt"),
+                                start_version=3)
+    b3 = recent.poll()
+    assert (b3.from_version, b3.to_version) == (3, 4)
+    assert {r["_change"] for r in b3.df.collect()} == {"I"}

@@ -214,3 +214,19 @@ def test_hadoop_io_local_scheme_delegates_to_posix(spark, tmp_path):
     # error-contract parity with the POSIX plane
     with pytest.raises(FileNotFoundError):
         io.remove(f"{m}/never-existed")
+
+    # Hadoop delete()==False with the path still present (permissions,
+    # transient FS fault) must RAISE, not silently report success —
+    # vacuum would otherwise believe a manifest was removed when it was
+    # not (advisor finding r4)
+    class _StuckFs:
+        def delete(self, p, recursive):
+            return False
+
+        def exists(self, p):
+            return True
+
+    io_stuck = HadoopMetadataIO(spark, f"file:{tmp_path}/d")
+    io_stuck._fs = _StuckFs()
+    with pytest.raises(OSError, match="still exists"):
+        io_stuck.remove(f"{m}/VERSION")
