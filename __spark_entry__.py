@@ -1647,29 +1647,49 @@ FROM m, LATERAL unnest(generate_series(
 
 
 def q_multimodal_real_decode(spark, sf_dir):
-    """REAL image decode certification: deterministic P6 PPM payloads
-    are generated distributed (per-id gradient, a pure function of
-    media_id), decoded with the pure-numpy PPM parser, and projected as
-    per-channel integer pixel SUMS — integer arithmetic end-to-end, so
-    the DuckDB twin recomputing the pattern must match byte-exactly.
-    This is pixels actually decoded from real image bytes, not the
-    byte-statistics stub (sf-independent by design: fixed 16 images)."""
-    media = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
-    return multimodal.ppm_channel_sums(media)
+    """REAL image decode certification over TWO formats: deterministic
+    P6 PPM payloads (pure-numpy parse) and baseline sequential JPEG
+    payloads decoded by the from-scratch pure-numpy codec (huffman
+    entropy decode, dequant, zigzag, IDCT, YCbCr->RGB in
+    operators/jpeg_codec.py). Both patterns are pure integer functions
+    of media_id — the JPEGs use constant 8x8 blocks + all-ones quant
+    tables, which survive the lossy pipeline BIT-exactly — and are
+    projected as per-channel integer pixel SUMS, so the DuckDB twin
+    recomputing the patterns must match exactly. This is pixels
+    actually decoded from real image bytes, not the byte-statistics
+    stub (sf-independent by design: fixed 16 images per format)."""
+    ppm = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
+    jpg = multimodal.synthetic_jpeg_media(spark, 16, width=32, height=24)
+    return multimodal.image_channel_sums(ppm.unionByName(jpg))
 
 
+# JPEG rows: gray value per 8x8 block is (id*11 + bx*7 + by*13) % 256;
+# each block contributes 64x its value to every channel (grayscale ->
+# r=g=b, and the odd-id YCbCr payloads use neutral chroma so RGB == Y).
 SQL_MULTIMODAL_REAL_DECODE = """
 WITH ids AS (SELECT unnest(generate_series(0, 15)) AS media_id),
 grid AS (
   SELECT xs.x AS x, ys.y AS y
   FROM (SELECT unnest(generate_series(0, 31)) AS x) xs,
        (SELECT unnest(generate_series(0, 23)) AS y) ys
+),
+blocks AS (
+  SELECT bxs.bx AS bx, bys.by AS by
+  FROM (SELECT unnest(generate_series(0, 3)) AS bx) bxs,
+       (SELECT unnest(generate_series(0, 2)) AS by) bys
 )
-SELECT media_id,
+SELECT media_id, 'ppm' AS fmt,
        CAST(sum((x * 8 + media_id) % 256) AS BIGINT)      AS r_sum,
        CAST(sum((y * 8 + media_id * 3) % 256) AS BIGINT)  AS g_sum,
        CAST(sum((x + y + media_id * 7) % 256) AS BIGINT)  AS b_sum
 FROM ids, grid
+GROUP BY media_id
+UNION ALL
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS r_sum,
+       CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS g_sum,
+       CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS b_sum
+FROM ids, blocks
 GROUP BY media_id
 """
 

@@ -2,10 +2,13 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL where the container's toolchain allows it — P6 PPM
-images (pure numpy parse, box-average resize, re-encode) and PCM WAV
-audio (stdlib ``wave`` + numpy) in :func:`decode_media` /
-:func:`resize_ppm_images`, with deterministic synthetic generators for
-tests. Codecs that genuinely need external libraries (JPEG, MP4 frame
+images (pure numpy parse, box-average resize, re-encode), PCM WAV
+audio (stdlib ``wave`` + numpy) and baseline sequential JPEG (the
+from-scratch pure-numpy codec in :mod:`~.jpeg_codec`: huffman entropy
+decode, dequant, zigzag, IDCT, YCbCr->RGB) — see :func:`decode_media`
+/ :func:`resize_ppm_images` / :func:`image_channel_sums`, with
+deterministic synthetic generators for tests. Codecs that genuinely
+need external libraries (PNG, progressive/subsampled JPEG, MP4 frame
 extraction) remain honestly stubbed: ``_fake_decode`` produces a
 deterministic byte-statistics vector so the Spark-side plumbing —
 schema, batch shape, partitioning — stays fully testable, and
@@ -187,12 +190,14 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
-    """Stub seam for codecs the container can't decode (JPEG/PNG, MP4).
-    PPM images and PCM WAV audio decode for real — see
-    :func:`decode_media` / :func:`resize_ppm_images`."""
+    """Stub seam for codecs the container can't decode (PNG,
+    progressive/subsampled JPEG, MP4). PPM images, baseline JPEG and
+    PCM WAV audio decode for real — see :func:`decode_media` /
+    :func:`resize_ppm_images` / :func:`image_channel_sums`."""
     raise NotImplementedError(
-        "JPEG/PNG/MP4 codecs are not available in this environment; "
-        "PPM/WAV payloads decode for real via decode_media()"
+        "PNG/MP4 (and progressive JPEG) codecs are not available in this "
+        "environment; PPM, baseline-JPEG and WAV payloads decode for real "
+        "via decode_media()/image_channel_sums()"
     )
 
 
@@ -450,6 +455,83 @@ def ppm_channel_sums(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "r_sum", "g_sum", "b_sum"])
 
     return media.mapInPandas(process, PPM_SUMS_SCHEMA)
+
+
+IMAGE_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),  # ppm | jpeg
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+    ]
+)
+
+
+def image_channel_sums(media: DataFrame) -> DataFrame:
+    """Byte-exact certification of the REAL image decoders, dispatched
+    on the payload's magic bytes: P6 -> pure-numpy PPM parse, SOI
+    (0xFFD8) -> the full baseline-JPEG pipeline in
+    :mod:`~.jpeg_codec` (huffman entropy decode, dequant, zigzag,
+    IDCT, YCbCr->RGB). Emits per-image integer channel sums over the
+    DECODED pixels — integer end-to-end, so an independent engine
+    recomputing the synthetic patterns must match EXACTLY."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                if b.startswith(b"P6"):
+                    fmt, arr = "ppm", decode_ppm(b)
+                else:
+                    fmt, arr = "jpeg", decode_jpeg(b)
+                s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((int(mid), fmt, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "r_sum", "g_sum", "b_sum"]
+            )
+
+    return media.mapInPandas(process, IMAGE_SUMS_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads: constant 8x8 blocks
+    (value a pure integer function of media_id and block coords) with
+    an all-ones quant table, so the encode->decode round trip is
+    BIT-exact and an oracle can recompute the decoded channel sums with
+    integer arithmetic (see :mod:`~.jpeg_codec` for why constant
+    blocks survive quantization losslessly). Even ids are 1-component
+    grayscale; odd ids exercise the 3-component 4:4:4 YCbCr path with
+    neutral chroma (Cb=Cr=128 -> RGB == Y exactly)."""
+    if width % 8 or height % 8:
+        raise ValueError("certification payloads need multiple-of-8 dims")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            by_, bx_ = np.mgrid[0 : height // 8, 0 : width // 8]
+            for mid in pdf["id"]:
+                v = (int(mid) * 11 + bx_ * 7 + by_ * 13) % 256
+                y = np.kron(v, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+                if int(mid) % 2 == 0:
+                    payload = encode_jpeg([y])
+                else:
+                    neutral = np.full_like(y, 128)
+                    payload = encode_jpeg([y, neutral, neutral])
+                rows.append((int(mid), "image", payload, width, height, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthetic_ppm_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:

@@ -353,6 +353,104 @@ def test_decode_media_corrupt_payloads_dont_fail_batch(spark):
     assert list(out[3]["feature"]) == [0.0, 0.0, 0.0, 0.0]
 
 
+def test_jpeg_codec_roundtrip_exact():
+    """The pure-numpy baseline JPEG codec: constant-8x8-block images
+    with an all-ones quant table round-trip BIT-exactly (the integer-
+    oracle certification contract), and a non-constant gradient stays
+    within rounding error of lossless at quant=1."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    v = np.zeros((24, 32), dtype=np.uint8)
+    for by in range(3):
+        for bx in range(4):
+            v[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (11 + bx * 7 + by * 13) % 256
+    img = jc.decode_jpeg(jc.encode_jpeg([v]))
+    assert img.shape == (24, 32, 3)
+    assert (img == v[:, :, None]).all()
+
+    # 3-component 4:4:4 with neutral chroma: full color path, RGB == Y
+    neutral = np.full_like(v, 128)
+    img3 = jc.decode_jpeg(jc.encode_jpeg([v, neutral, neutral]))
+    assert (img3 == v[:, :, None]).all()
+
+    # general content: DCT-coefficient rounding only (quant table = 1)
+    yy, xx = np.mgrid[0:24, 0:32]
+    g = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    got = jc.decode_jpeg(jc.encode_jpeg([g]))[:, :, 0]
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+    # non-multiple-of-8 dims: encoder edge-pads, decoder crops
+    odd = ((xx + yy) % 256).astype(np.uint8)[:20, :27]
+    got = jc.decode_jpeg(jc.encode_jpeg([odd]))[:, :, 0]
+    assert got.shape == (20, 27)
+    assert np.abs(got.astype(int) - odd.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_against_hand_crafted_spec_bytes():
+    """Decoder validated independently of our own encoder: a single
+    8x8 gray block at value 130 entropy-coded BY HAND from the T.81
+    tables (DC diff 16 -> category-5 code '110' + '10000', EOB '1010',
+    1-padded) must decode to a solid 130."""
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    hand = bytearray(b"\xff\xd8")
+    hand += jc._seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    hand += jc._seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+                    + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    hand += jc._seg(0xC4, bytes([0x00]) + bytes(jc.DC_LUM_BITS)
+                    + bytes(jc.DC_LUM_VALS) + bytes([0x10])
+                    + bytes(jc.AC_LUM_BITS) + bytes(jc.AC_LUM_VALS))
+    hand += jc._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    hand += bytes([0b11010000, 0b10101111]) + b"\xff\xd9"
+    out = jc.decode_jpeg(bytes(hand))
+    assert (out == 130).all()
+
+
+def test_jpeg_honest_seams_and_corrupt():
+    """Legal-but-unsupported variants raise NotImplementedError (the
+    honest seam contract); malformed data raises ValueError."""
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC2, sof_payload))
+    subsampled = bytes([8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC0, subsampled))
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any scan
+
+
+def test_image_channel_sums_mixed_formats(spark):
+    """Driver-query twin: PPM and JPEG payloads in ONE frame dispatch
+    on magic bytes and produce integer channel sums matching the local
+    recompute of both synthetic patterns."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    ppm = mm.synthetic_ppm_media(spark, 4, width=32, height=24)
+    jpg = mm.synthetic_jpeg_media(spark, 4, width=32, height=24)
+    got = {(r["media_id"], r["fmt"]): (r["r_sum"], r["g_sum"], r["b_sum"])
+           for r in mm.image_channel_sums(ppm.unionByName(jpg)).collect()}
+    assert len(got) == 8
+    yy, xx = np.mgrid[0:24, 0:32]
+    by_, bx_ = np.mgrid[0:3, 0:4]
+    for mid in range(4):
+        r = int(((xx * 8 + mid) % 256).sum())
+        g = int(((yy * 8 + mid * 3) % 256).sum())
+        b = int(((xx + yy + mid * 7) % 256).sum())
+        assert got[(mid, "ppm")] == (r, g, b)
+        j = int(64 * ((mid * 11 + bx_ * 7 + by_ * 13) % 256).sum())
+        assert got[(mid, "jpeg")] == (j, j, j)
+
+
 def test_resize_ppm_mixed_corpus_and_corrupt(spark):
     """resize_ppm_images: audio rows (null width/height) and corrupt P6
     payloads pass through instead of crashing the Arrow batch."""
