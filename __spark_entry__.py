@@ -1647,20 +1647,22 @@ FROM m, LATERAL unnest(generate_series(
 
 
 def q_multimodal_real_decode(spark, sf_dir):
-    """REAL image decode certification over TWO formats: deterministic
-    P6 PPM payloads (pure-numpy parse) and baseline sequential JPEG
-    payloads decoded by the from-scratch pure-numpy codec (huffman
-    entropy decode, dequant, zigzag, IDCT, YCbCr->RGB in
-    operators/jpeg_codec.py). Both patterns are pure integer functions
-    of media_id — the JPEGs use constant 8x8 blocks + all-ones quant
-    tables, which survive the lossy pipeline BIT-exactly — and are
-    projected as per-channel integer pixel SUMS, so the DuckDB twin
-    recomputing the patterns must match exactly. This is pixels
-    actually decoded from real image bytes, not the byte-statistics
-    stub (sf-independent by design: fixed 16 images per format)."""
+    """REAL image decode certification over THREE formats: P6 PPM
+    (pure-numpy parse), baseline sequential JPEG (from-scratch codec:
+    huffman entropy decode, dequant, zigzag, IDCT, YCbCr->RGB in
+    operators/jpeg_codec.py) and PNG (stdlib zlib inflate + all five
+    scanline unfilters in operators/png_codec.py). Every pattern is a
+    pure integer function of media_id — the JPEGs use constant 8x8
+    blocks + all-ones quant tables, which survive the lossy pipeline
+    BIT-exactly; PPM/PNG are lossless outright — projected as
+    per-channel integer pixel SUMS, so the DuckDB twin recomputing the
+    patterns must match exactly. This is pixels actually decoded from
+    real image bytes, not the byte-statistics stub (sf-independent by
+    design: fixed 16 images per format)."""
     ppm = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
     jpg = multimodal.synthetic_jpeg_media(spark, 16, width=32, height=24)
-    return multimodal.image_channel_sums(ppm.unionByName(jpg))
+    png = multimodal.synthetic_png_media(spark, 16, width=32, height=24)
+    return multimodal.image_channel_sums(ppm.unionByName(jpg).unionByName(png))
 
 
 # JPEG rows: gray value per 8x8 block is (id*11 + bx*7 + by*13) % 256;
@@ -1690,6 +1692,13 @@ SELECT media_id, 'jpeg' AS fmt,
        CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS g_sum,
        CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS b_sum
 FROM ids, blocks
+GROUP BY media_id
+UNION ALL
+SELECT media_id, 'png' AS fmt,
+       CAST(sum((x * 5 + media_id) % 256) AS BIGINT)              AS r_sum,
+       CAST(sum((y * 7 + media_id * 5) % 256) AS BIGINT)          AS g_sum,
+       CAST(sum((x * 2 + y * 3 + media_id * 11) % 256) AS BIGINT) AS b_sum
+FROM ids, grid
 GROUP BY media_id
 """
 

@@ -481,6 +481,7 @@ def image_channel_sums(media: DataFrame) -> DataFrame:
         import numpy as np
 
         from picsure_dictionary_etl_spark.operators.jpeg_codec import decode_jpeg
+        from picsure_dictionary_etl_spark.operators.png_codec import decode_png
 
         for pdf in batches:
             rows = []
@@ -488,6 +489,8 @@ def image_channel_sums(media: DataFrame) -> DataFrame:
                 b = bytes(b)
                 if b.startswith(b"P6"):
                     fmt, arr = "ppm", decode_ppm(b)
+                elif b.startswith(b"\x89PNG"):
+                    fmt, arr = "png", decode_png(b)
                 else:
                     fmt, arr = "jpeg", decode_jpeg(b)
                 s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -497,6 +500,31 @@ def image_channel_sums(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(process, IMAGE_SUMS_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Deterministic REAL PNG payloads (per-id RGB gradient, a pure
+    integer function of media_id). PNG is lossless, so — unlike the
+    JPEG constant-block trick — ANY pattern certifies exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from picsure_dictionary_etl_spark.operators.png_codec import encode_png
+
+        for pdf in batches:
+            rows = []
+            yy, xx = np.mgrid[0:height, 0:width]
+            for mid in pdf["id"]:
+                r = (xx * 5 + mid) % 256
+                g = (yy * 7 + mid * 5) % 256
+                bl = (xx * 2 + yy * 3 + mid * 11) % 256
+                arr = np.stack([r, g, bl], axis=-1).astype(np.uint8)
+                rows.append((int(mid), "image", encode_png(arr), width, height, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:

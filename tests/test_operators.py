@@ -427,19 +427,86 @@ def test_jpeg_honest_seams_and_corrupt():
         jc.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any scan
 
 
+def test_png_codec_roundtrip_and_filters():
+    """Pure stdlib+numpy PNG: lossless roundtrip for RGB and grey, and
+    a HAND-FILTERED stream exercising all five scanline filter types
+    (None/Sub/Up/Average/Paeth) decodes exactly — the filter math is
+    validated independently of our own filter-0-only writer."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import png_codec as pc
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    arr = np.stack([(xx * 8 + 5) % 256, (yy * 8 + 15) % 256,
+                    (xx + yy + 35) % 256], axis=-1).astype(np.uint8)
+    assert (pc.decode_png(pc.encode_png(arr)) == arr).all()
+    g = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    assert (pc.decode_png(pc.encode_png(g)) == g[:, :, None]).all()
+
+    # hand-filter a known 5x4 RGB image, one row per filter type
+    img = (np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3) * 7 + 3) % 256
+    stride, bpp = 12, 3
+    raws = bytearray()
+    prev = np.zeros(stride, dtype=int)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(int)
+        enc = cur.copy()
+        if f == 1:
+            for x in range(stride - 1, bpp - 1, -1):
+                enc[x] = (cur[x] - cur[x - bpp]) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - pc._paeth(left, prev[x], ul)) & 0xFF
+        raws.append(f)
+        raws += bytes(int(v) for v in enc)
+        prev = cur
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    hand = bytearray(pc._SIG)
+    hand += chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+    hand += chunk(b"IDAT", zlib.compress(bytes(raws)))
+    hand += chunk(b"IEND", b"")
+    assert (pc.decode_png(bytes(hand)) == img).all()
+
+    # honest seams
+    bad = bytearray(pc._SIG) + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        pc.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        pc.decode_png(b"junk")
+
+
 def test_image_channel_sums_mixed_formats(spark):
-    """Driver-query twin: PPM and JPEG payloads in ONE frame dispatch
-    on magic bytes and produce integer channel sums matching the local
-    recompute of both synthetic patterns."""
+    """Driver-query twin: PPM, JPEG and PNG payloads in ONE frame
+    dispatch on magic bytes and produce integer channel sums matching
+    the local recompute of all three synthetic patterns."""
     import numpy as np
 
     from picsure_dictionary_etl_spark.operators import multimodal as mm
 
     ppm = mm.synthetic_ppm_media(spark, 4, width=32, height=24)
     jpg = mm.synthetic_jpeg_media(spark, 4, width=32, height=24)
+    png = mm.synthetic_png_media(spark, 4, width=32, height=24)
+    media = ppm.unionByName(jpg).unionByName(png)
     got = {(r["media_id"], r["fmt"]): (r["r_sum"], r["g_sum"], r["b_sum"])
-           for r in mm.image_channel_sums(ppm.unionByName(jpg)).collect()}
-    assert len(got) == 8
+           for r in mm.image_channel_sums(media).collect()}
+    assert len(got) == 12
     yy, xx = np.mgrid[0:24, 0:32]
     by_, bx_ = np.mgrid[0:3, 0:4]
     for mid in range(4):
@@ -449,6 +516,10 @@ def test_image_channel_sums_mixed_formats(spark):
         assert got[(mid, "ppm")] == (r, g, b)
         j = int(64 * ((mid * 11 + bx_ * 7 + by_ * 13) % 256).sum())
         assert got[(mid, "jpeg")] == (j, j, j)
+        r = int(((xx * 5 + mid) % 256).sum())
+        g = int(((yy * 7 + mid * 5) % 256).sum())
+        b = int(((xx * 2 + yy * 3 + mid * 11) % 256).sum())
+        assert got[(mid, "png")] == (r, g, b)
 
 
 def test_resize_ppm_mixed_corpus_and_corrupt(spark):
