@@ -1703,6 +1703,29 @@ GROUP BY media_id
 """
 
 
+def q_multimodal_real_decode_audio(spark, sf_dir):
+    """REAL audio decode certification: deterministic 16-bit PCM WAV
+    payloads whose samples are a pure integer function of
+    (media_id, i) are decoded with the stdlib ``wave`` reader and
+    projected as integer sample statistics — the audio twin of the
+    image channel-sum certification (sf-independent: fixed 16 clips)."""
+    wav = multimodal.synthetic_int_wav_media(spark, 16, n_samples=2048)
+    return multimodal.wav_sample_sums(wav)
+
+
+SQL_MULTIMODAL_REAL_DECODE_AUDIO = """
+WITH ids AS (SELECT unnest(generate_series(0, 15)) AS media_id),
+samp AS (SELECT unnest(generate_series(0, 2047)) AS i)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum((i * (media_id + 3) + media_id * 17) % 65536 - 32768) AS BIGINT) AS sample_sum,
+       CAST(min((i * (media_id + 3) + media_id * 17) % 65536 - 32768) AS BIGINT) AS sample_min,
+       CAST(max((i * (media_id + 3) + media_id * 17) % 65536 - 32768) AS BIGINT) AS sample_max
+FROM ids, samp
+GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1730,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sorted": q_distinct_sorted,
         "count_per_key": q_count_per_key,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_real_decode_audio": q_multimodal_real_decode_audio,
         "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1768,7 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
-        "token_counts": q_token_counts,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ann_topk_per_label": q_ann_topk_per_label,
         "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
@@ -1777,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (beyond the driver's 50-slot prefix): trivial queries
         # --- with a fresh r4 driver-green row, still oracled every run
         # --- by tests/test_entry_oracle.py.
+        "token_counts": q_token_counts,
         "sorted_export": q_sorted_export,
         "group_size_max": q_group_size_max,
         "depth_layer_counts": q_depth_layer_counts,
@@ -1788,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
+        "multimodal_real_decode_audio": SQL_MULTIMODAL_REAL_DECODE_AUDIO,
         "cdc_lww_latest": SQL_CDC_LWW_LATEST,
         "cdc_apply_final_state": SQL_CDC_APPLY_FINAL_STATE,
         "conversation_reassembly": SQL_CONVERSATION_REASSEMBLY,

@@ -586,6 +586,79 @@ def synthetic_ppm_media(spark, n: int, width: int = 32, height: int = 24) -> Dat
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+WAV_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("sample_min", T.LongType(), False),
+        T.StructField("sample_max", T.LongType(), False),
+    ]
+)
+
+
+def wav_sample_sums(media: DataFrame) -> DataFrame:
+    """Byte-exact certification of the REAL WAV decode: parse each PCM
+    payload with the stdlib ``wave`` reader and emit integer statistics
+    over the RAW 16-bit samples (no float normalization) — so an
+    independent engine recomputing a synthetic integer sample pattern
+    must match EXACTLY, the audio twin of :func:`image_channel_sums`."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(b))) as f:
+                    if f.getsampwidth() != 2:
+                        raise ValueError("16-bit PCM expected")
+                    raw = f.readframes(f.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append((int(mid), len(x), int(x.sum()), int(x.min()),
+                             int(x.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "sample_sum", "sample_min", "sample_max"])
+
+    return media.mapInPandas(process, WAV_SUMS_SCHEMA)
+
+
+def synthetic_int_wav_media(spark, n: int, n_samples: int = 2048,
+                            rate: int = 8000) -> DataFrame:
+    """Deterministic REAL PCM WAV payloads whose 16-bit samples are a
+    pure INTEGER function of (media_id, sample index) — unlike the
+    sine-tone generator, an oracle can recompute the decoded sample
+    statistics exactly: ``x[i] = ((i*(mid+3) + mid*17) % 65536) - 32768``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            i = np.arange(n_samples, dtype=np.int64)
+            for mid in pdf["id"]:
+                m = int(mid)
+                x = ((i * (m + 3) + m * 17) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(x.tobytes())
+                rows.append((m, "audio", buf.getvalue(), None, None,
+                             int(n_samples * 1000 / rate)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synthetic_wav_media(spark, n: int, rate: int = 8000, seconds: float = 0.25) -> DataFrame:
     """Deterministic REAL PCM WAV payloads (per-id sine tone) via the
     stdlib ``wave`` writer — pure function of media_id."""

@@ -492,6 +492,61 @@ def test_png_codec_roundtrip_and_filters():
         pc.decode_png(b"junk")
 
 
+def test_codec_property_roundtrips():
+    """Property-based codec contracts: PNG roundtrips EVERY uint8 RGB
+    image exactly (lossless format), and JPEG roundtrips every
+    constant-8x8-block image exactly under the all-ones quant table
+    (the certification invariant the integer oracle rests on)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+    from picsure_dictionary_etl_spark.operators import png_codec as pc
+
+    @given(
+        st.integers(1, 5), st.integers(1, 5), st.integers(0, 2**32 - 1)
+    )
+    @settings(max_examples=25, deadline=None)
+    def png_roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (pc.decode_png(pc.encode_png(arr)) == arr).all()
+
+    @given(
+        st.integers(1, 3), st.integers(1, 3),
+        st.lists(st.integers(0, 255), min_size=9, max_size=9),
+    )
+    @settings(max_examples=25, deadline=None)
+    def jpeg_constant_blocks(bh, bw, vals):
+        blocks = np.array(vals[: bh * bw], dtype=np.uint8).reshape(bh, bw)
+        y = np.kron(blocks, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+        img = jc.decode_jpeg(jc.encode_jpeg([y]))
+        assert (img == y[:, :, None]).all()
+
+    png_roundtrip()
+    jpeg_constant_blocks()
+
+
+def test_wav_sample_sums_integer_exact(spark):
+    """REAL audio decode certification twin: integer-pattern PCM WAV
+    payloads decode (stdlib wave) to sample statistics matching the
+    local recompute exactly."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    wav = mm.synthetic_int_wav_media(spark, 4, n_samples=512)
+    got = {r["media_id"]: r for r in mm.wav_sample_sums(wav).collect()}
+    assert len(got) == 4
+    i = np.arange(512, dtype=np.int64)
+    for mid in range(4):
+        x = (i * (mid + 3) + mid * 17) % 65536 - 32768
+        r = got[mid]
+        assert (r["n_samples"], r["sample_sum"], r["sample_min"], r["sample_max"]) \
+            == (512, int(x.sum()), int(x.min()), int(x.max()))
+
+
 def test_image_channel_sums_mixed_formats(spark):
     """Driver-query twin: PPM, JPEG and PNG payloads in ONE frame
     dispatch on magic bytes and produce integer channel sums matching
