@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from picsure_dictionary_etl_spark.operators.dedup import _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -48,7 +50,7 @@ def cosine_topk(
     """Exact brute-force cosine top-k. Similarity is rounded before
     ranking so ordering is stable across engines/float-sum orders;
     ties break on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # ONE literal, not dim py4j calls
     scored = df.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), round_digits).alias("cosine_sim")
     )
@@ -77,12 +79,36 @@ def hyperplane_coeffs(dim: int, planes: int = 8, seed: int = 0) -> list[list[flo
 
 def _projections(
     vec_col: Column, dim: int, planes: int, seed: int, round_digits: int
-) -> list[Column]:
+) -> Column:
+    """``array<double>`` of the vector's rounded projections onto every
+    hyperplane. The coefficient matrix ships as ``planes`` array
+    LITERALS folded by a higher-order ``transform`` — a constant-size
+    expression regardless of ``dim``. (The previous per-element
+    ``F.lit`` construction made planes x dim py4j round trips: ~3 s of
+    DRIVER time per plan build at dim=64, dwarfing the 1 s execution.)
+    The fold order inside ``_dot`` is unchanged, so projections — and
+    therefore bucket ids — are bit-identical to the old construction."""
     coeffs = hyperplane_coeffs(dim, planes, seed)
-    return [
-        F.round(_dot(vec_col, F.array(*[F.lit(c) for c in coeffs[p]])), round_digits)
-        for p in range(planes)
-    ]
+    mat = F.array(*[F.lit(row) for row in coeffs])
+    return F.transform(mat, lambda row: F.round(_dot(vec_col, row), round_digits))
+
+
+def _bucket_of(projs: Column, planes: int) -> Column:
+    if planes <= 0:
+        # degenerate everything-in-one-bucket mode (the brute-force
+        # oracle used by recall tests); an empty F.lit([]) is
+        # void-typed and breaks zip_with, so short-circuit
+        return F.lit(0).cast("long")
+    powers = F.lit([2**p for p in range(planes)])
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            powers,
+            lambda v, w: F.when(v > 0, w.cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hyperplane_bucket(
@@ -92,10 +118,7 @@ def hyperplane_bucket(
     The projection is rounded before the sign test so bucket ids are
     stable across engines' float-sum orderings (same trick as
     ``cosine_topk``'s pre-rank rounding)."""
-    projs = _projections(vec_col, dim, planes, seed, round_digits)
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bucket = bucket + F.when(projs[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
+    bucket = _bucket_of(_projections(vec_col, dim, planes, seed, round_digits), planes)
     return bucket
 
 
@@ -113,18 +136,17 @@ def probe_buckets(
     closest to, i.e. where a true near-neighbor most plausibly landed
     on the other side. Entirely in-plan (sort_array over
     (|margin|, plane) structs + transform), no driver work, no UDF."""
+    if planes <= 0:
+        return F.array(F.lit(0).cast("long"))  # single-bucket oracle mode
     projs = _projections(vec_col, dim, planes, seed, round_digits)
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bucket = bucket + F.when(projs[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
+    bucket = _bucket_of(projs, planes)
     if extra <= 0:
         return F.array(bucket)
     margins = F.sort_array(
-        F.array(
-            *[
-                F.struct(F.abs(projs[p]).alias("m"), F.lit(p).alias("p"))
-                for p in range(planes)
-            ]
+        F.zip_with(
+            projs,
+            F.lit(list(range(planes))),
+            lambda v, p: F.struct(F.abs(v).alias("m"), p.alias("p")),
         )
     )
     flips = F.slice(margins, 1, min(extra, planes))
@@ -153,11 +175,13 @@ def lsh_bucketed_topk(
     partition-pruned scan."""
     dim = len(query_vec)
     spark = df.sparkSession
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # ONE literal, not dim py4j calls
     qdf = spark.range(1).select(
         F.explode(probe_buckets(q, dim, planes, extra=probes - 1)).alias("_qb")
     )
-    bucketed = df.withColumn("_b", hyperplane_bucket(F.col(vec_col), dim, planes))
+    bucketed = _spread(df, id_col).withColumn(
+        "_b", hyperplane_bucket(F.col(vec_col), dim, planes)
+    )
     # distinct single-bit flips always differ, so the join can't dupe rows
     cand = bucketed.join(F.broadcast(qdf), F.col("_b") == F.col("_qb")).drop("_qb")
     return cosine_topk(cand, query_vec, id_col, vec_col, k)
@@ -194,7 +218,9 @@ def embedding_near_duplicates(
             "embedding_near_duplicates requires dim= (embedding length); "
             "the driver-job .first() fallback was removed"
         )
-    bucketed = df.select(
+    # the hyperplane projections are planes*dim multiply-adds per row:
+    # spread a narrow (single-file) scan first or they serialize
+    bucketed = _spread(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(
@@ -232,7 +258,7 @@ def pairwise_topk_per_label(
     (window over rounded similarity, deterministic tie-break)."""
     from pyspark.sql import Window
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # ONE literal, not dim py4j calls
     scored = df.select(
         F.col(label_col),
         F.col(id_col),
