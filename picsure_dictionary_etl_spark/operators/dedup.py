@@ -347,12 +347,14 @@ def simhash_halves(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("x1"),
             F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("x2"),
         )
-        bit = lambda j: F.shiftright(  # noqa: E731
-            F.col("x1" if j < 32 else "x2"), j % 32
-        ).bitwiseAND(F.lit(1))
+
+        def bit_sql(j: int) -> str:
+            return f"(shiftright({'x1' if j < 32 else 'x2'}, {j % 32}) & 1)"
     else:
         hashed = words.withColumn("h", F.xxhash64("w"))
-        bit = lambda j: F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+
+        def bit_sql(j: int) -> str:
+            return f"(shiftright(h, {j}) & 1)"
 
     # Packed counters: 4 bit-counts per long (16-bit lanes), so the
     # aggregate carries 16 sums + 1 count instead of 64 sums — 3.5x
@@ -361,11 +363,15 @@ def simhash_halves(
     # recovered as 2*count > n_words (tie -> bit 0, same as sum=0).
     # Lane capacity bounds docs at 65535 words — far above any
     # realistic shingle/word explosion per document.
+    # (Expressions are SQL strings: the per-Column construction made
+    # ~700 py4j round trips = 3+ s of DRIVER time per plan build,
+    # double the query's execution time. Identical arithmetic.)
     packed_cols = [
-        sum(
-            (bit(4 * g + lane) * F.lit(2 ** (16 * lane)).cast("long") for lane in range(4)),
-            F.lit(0).cast("long"),
-        ).alias(f"p{g}")
+        F.expr(
+            "CAST("
+            + " + ".join(f"{bit_sql(4 * g + lane)} * {2 ** (16 * lane)}L" for lane in range(4))
+            + f" AS BIGINT) AS p{g}"
+        )
         for g in range(16)
     ]
     packs = hashed.select(F.col(id_col), *packed_cols).groupBy(id_col).agg(
@@ -374,13 +380,12 @@ def simhash_halves(
     )
 
     def half(lo_bit: int) -> F.Column:
-        acc = F.lit(0).cast("long")
-        for j in range(lo_bit, lo_bit + 32):
-            c = F.shiftright(F.col(f"p{j // 4}"), 16 * (j % 4)).bitwiseAND(F.lit(0xFFFF))
-            acc = acc + F.when(
-                c * 2 > F.col("_n"), F.lit(2 ** (j - lo_bit)).cast("long")
-            ).otherwise(F.lit(0))
-        return acc
+        terms = " + ".join(
+            f"(CASE WHEN (shiftright(p{j // 4}, {16 * (j % 4)}) & 65535) * 2 > _n "
+            f"THEN {2 ** (j - lo_bit)}L ELSE 0L END)"
+            for j in range(lo_bit, lo_bit + 32)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
 
     return packs.select(F.col(id_col), half(32).alias("s_hi"), half(0).alias("s_lo"))
 

@@ -492,6 +492,31 @@ def test_png_codec_roundtrip_and_filters():
         pc.decode_png(b"junk")
 
 
+def test_simhash_fast_and_portable_paths_agree_on_duplicates(spark):
+    """The xxhash64 fast path and the md5 portable path use different
+    hash families (signatures differ) but identical texts must produce
+    identical signatures WITHIN each path — exact-duplicate groups and
+    hamming-0 pairs agree across paths. Guards the SQL-string rewrite
+    of the packed-counter expressions on both branches."""
+    from picsure_dictionary_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here now"), (4, "alpha beta gamma delta"),
+         (5, "totally different words here now"), (6, "one more unique doc")],
+        ["doc_id", "text"],
+    )
+    for portable in (False, True):
+        groups = {(r["keeper_id"], r["n_docs"])
+                  for r in dedup.simhash_duplicates(
+                      docs, "doc_id", portable=portable).collect()}
+        assert groups == {(1, 3), (3, 2)}, f"portable={portable}"
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.simhash_near_duplicates(
+                     docs, "doc_id", max_hamming=0, portable=portable).collect()}
+        assert pairs == {(1, 2), (1, 4), (2, 4), (3, 5)}, f"portable={portable}"
+
+
 def test_codec_property_roundtrips():
     """Property-based codec contracts: PNG roundtrips EVERY uint8 RGB
     image exactly (lossless format), and JPEG roundtrips every
