@@ -1,0 +1,185 @@
+"""The lake_cdf Structured-Streaming source: offset/partition planning,
+executor-side pyarrow resolve, and bit-exact parity with the engine's
+batch change feed (table_changes)."""
+
+import datetime
+
+import pytest
+
+from picsure_dictionary_etl_spark.cdc.envelope import change_event_schema
+from picsure_dictionary_etl_spark.cdc.runner import CdcRunner, RunnerConfig
+from picsure_dictionary_etl_spark.lake.merge import table_changes
+from picsure_dictionary_etl_spark.lake.table import LakeTable
+from picsure_dictionary_etl_spark.streaming.cdf_source import (
+    LakeChangeFeedDataSource,
+    _resolve_live_pd,
+    spark_xxhash64,
+)
+
+TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+COLS = ["_change", "conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, change_event_schema())
+
+
+def _collect_stream(spark, root, ckpt, out_dir):
+    """Checkpointed pass into a parquet sink (the memory sink cannot
+    recover offsets); returns THIS pass's rows (new files only)."""
+    import glob
+    import os
+
+    before = set(glob.glob(os.path.join(out_dir, "*.parquet")))
+    q = (
+        spark.readStream.format("lake_cdf").option("path", root).load()
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    new = [f for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+           if f not in before and os.path.getsize(f) > 0]
+    if not new:
+        return set()
+    return {tuple(r) for r in
+            spark.read.parquet(*new).select(*COLS).collect()}
+
+
+def test_stream_matches_batch_cdf_and_resumes(spark, tmp_path):
+    """One availableNow pass == table_changes(0, current); a SECOND pass
+    from the same checkpoint delivers ONLY the new versions' diff —
+    Spark's offset log replaces the hand-rolled ack loop."""
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root = str(tmp_path / "t")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", None, TS),
+        (2, "I", "c2", 0, "user", "hi", None, TS),
+        (3, "I", "c1", 1, "assistant", "yo", None, TS)]), "b1")
+    r.apply_batch(_ev(spark, [
+        (4, "U", "c1", 0, "user", "hello EDITED", None, TS),
+        (5, "D", "c2", 0, None, None, None, None),
+        (6, "I", "c3", 0, "user", "new conv", None, TS)]), "b2")
+
+    t = LakeTable.load(spark, root)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    got = _collect_stream(spark, root, ckpt, out)
+    want = {tuple(r) for r in
+            table_changes(t, 0, t.current_version()).select(*COLS).collect()}
+    assert got == want and len(got) == 3
+
+    # advance the table; the SAME checkpoint must deliver only the delta
+    v_before = t.current_version()
+    r.apply_batch(_ev(spark, [
+        (7, "U", "c3", 0, "user", "edited again", None, TS),
+        (8, "D", "c1", 1, None, None, None, None)]), "b3")
+    got2 = _collect_stream(spark, root, ckpt, out)
+    want2 = {tuple(r) for r in
+             table_changes(t, v_before, t.current_version())
+             .select(*COLS).collect()}
+    assert got2 == want2 and {r[0] for r in got2} == {"U", "D"}
+
+    # caught up: another pass delivers nothing
+    assert _collect_stream(spark, root, ckpt, out) == set()
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The streaming reader's LWW tie-break must be the engine's: the
+    pure-python XXH64 twin is bit-equal to F.xxhash64 across the
+    payload type surface (string lengths straddling every block
+    boundary, ints/longs at extremes, timestamps incl. pre-epoch,
+    doubles incl. -0.0, nulls interleaved)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        ("", None, None, None),
+        ("a", 1, 2 ** 40, True),
+        ("x" * 31, -2147483648, -9223372036854775808, False),
+        ("y" * 32, 2147483647, 9223372036854775807, True),
+        ("z" * 33, 0, 0, None),
+        ("w" * 100, -1, -1, False),
+        ("unicode é ü 漢字", 7, 42, True),
+        (None, None, None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("s", T.StringType()), T.StructField("i", T.IntegerType()),
+        T.StructField("l", T.LongType()), T.StructField("b", T.BooleanType()),
+    ])
+    got = spark.createDataFrame(rows, schema).select(
+        F.xxhash64("s", "i", "l", "b").alias("h")).collect()
+    for r, g in zip(rows, got):
+        assert spark_xxhash64(list(r), ["string", "integer", "long", "boolean"]) \
+            == g["h"], r
+
+    rows2 = [(datetime.datetime(2024, 5, 1, 12, 30, 15, 123456), 3.14159),
+             (datetime.datetime(1969, 12, 31, 23, 59, 59), -0.0),
+             (None, 0.0)]
+    schema2 = T.StructType([T.StructField("t", T.TimestampType()),
+                            T.StructField("d", T.DoubleType())])
+    got2 = spark.createDataFrame(rows2, schema2).select(
+        F.xxhash64("t", "d").alias("h")).collect()
+    for r, g in zip(rows2, got2):
+        assert spark_xxhash64(list(r), ["timestamp", "double"]) == g["h"], r
+
+
+def test_pandas_resolve_matches_engine_on_equal_lsn_ties(spark):
+    """Equal-LSN rows for one key: the engine breaks the tie by
+    xxhash64(payload..., _op) (never bare LSN — r3 rule); the pyarrow
+    reader must pick the IDENTICAL winner."""
+    import pandas as pd
+
+    from picsure_dictionary_etl_spark.lake.merge import resolve_live
+
+    rows = [
+        ("c1", 0, "user", "candidate A", None, "I", 10),
+        ("c1", 0, "user", "candidate B", None, "I", 10),  # same LSN!
+        ("c1", 0, "user", "older", None, "I", 5),
+        ("c2", 0, "user", "lone", None, "I", 10),
+        ("c3", 0, None, None, None, "D", 10),
+        ("c3", 0, "user", "dead candidate", None, "I", 10),  # ties a delete
+    ]
+    from pyspark.sql import types as T
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "_op", "_lsn"]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("_op", T.StringType()),
+        T.StructField("_lsn", T.LongType()),
+    ])
+    sdf = spark.createDataFrame(rows, schema)
+    engine = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+              for r in resolve_live(sdf, ["conv_id", "turn_idx"],
+                                    ["role", "text", "tool"]).collect()}
+    pdf = pd.DataFrame(rows, columns=cols)
+    mine = {(r.conv_id, r.turn_idx): (r.role, r.text)
+            for r in _resolve_live_pd(
+                pdf, ["conv_id", "turn_idx"], ["role", "text", "tool"],
+                {"role": "string", "text": "string", "tool": "string"},
+            ).itertuples()}
+    assert mine == engine
+    assert ("c1", 0) in engine  # the tie resolved to exactly one winner
+
+
+def test_unsupported_seams_are_typed_errors(spark, tmp_path):
+    """Field-wise (_pu) tables and URI roots raise NotImplementedError
+    at PLAN time — never silently-wrong streams."""
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    root = str(tmp_path / "pu")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False, update_policy="coalesce"))
+    r.apply_batch(_ev(spark, [(1, "I", "c1", 0, "user", "x", None, TS)]), "b1")
+    rd = _CdfStreamReader({"path": root})
+    with pytest.raises(NotImplementedError, match="field-wise"):
+        rd.partitions(rd.initialOffset(), rd.latestOffset())
+
+    with pytest.raises(NotImplementedError, match="POSIX"):
+        from picsure_dictionary_etl_spark.streaming.cdf_source import _check_supported
+        _check_supported(f"file:{root}", LakeTable.load(spark, root).current())
