@@ -57,6 +57,13 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
             "int"
         )
 
+    # NOTE: deliberately NOT _spread() here (measured 2x SLOWER): the
+    # downstream mapInPandas work is vectorized byte statistics — tiny
+    # per row — so fanning a small corpus across 32 Python workers
+    # costs more in Arrow/worker overhead than it saves. The spread
+    # pays off only where post-scan row work dominates (dedup explodes,
+    # hyperplane projections); a REAL heavy decoder over a large corpus
+    # arrives already wide from the scan.
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
