@@ -1738,11 +1738,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict. Rotation policy (r5): the 5 queries whose
-    # last driver row is oldest lead (r3-certified tail of r4 —
-    # simhash_duplicates/eav_*/distinct_sorted/count_per_key), the
-    # re-fixed flagship follows, and the tail holds 5 trivial queries
-    # freshly certified in r4 (sorted_export, group_size_max,
+    # prefix of this dict (56 entries total). Rotation policy (r5): the
+    # 5 queries whose last driver row is oldest lead (r3-certified tail
+    # of r4 — simhash_duplicates/eav_*/distinct_sorted/count_per_key),
+    # the re-fixed flagship and the new audio certification follow, and
+    # the tail (indices 50-55) holds SIX trivial queries freshly
+    # certified in r4 (token_counts, sorted_export, group_size_max,
     # depth_layer_counts, canonical_json_hash, doc_fingerprint) so
     # every entry's driver evidence stays <=2 rounds old and the
     # bounded prefix never ships an unverified operator.

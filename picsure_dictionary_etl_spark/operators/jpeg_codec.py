@@ -191,8 +191,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
-        while b[i + 1] == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
-            i += 1
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: fill bytes before a marker
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = b[i + 1]
         if marker == 0xD9:  # EOI before SOS: no image
             raise ValueError("EOI before scan data")

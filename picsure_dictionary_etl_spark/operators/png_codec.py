@@ -51,7 +51,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if len(chunk) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
+            try:
+                ihdr = struct.unpack(">IIBBBBB", chunk)
+            except struct.error as e:
+                raise ValueError(f"malformed IHDR chunk: {e}") from None
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
@@ -71,7 +74,10 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"color type {color} unsupported (0/2/6 only)")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from None
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("decompressed size mismatch")

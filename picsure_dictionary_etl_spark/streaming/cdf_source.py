@@ -133,10 +133,15 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
     """``F.xxhash64(c1, c2, ...)`` twin: seed-chained per column, null
     leaves the running hash unchanged, SIGNED int64 result. ``dtypes``
     are Spark simpleString type names ('string', 'long', 'integer',
-    'timestamp', 'boolean', 'double', ...)."""
+    'timestamp', 'boolean', 'double', ...). A NaN in a DOUBLE column is
+    a VALUE (Spark hashes doubleToLongBits' canonical NaN), so pass
+    pandas nullable dtypes upstream (:func:`_read_bucket` does) — a
+    plain-float64 NaN in any other declared type is treated as null."""
+    import pandas as pd
+
     h = seed
     for v, t in zip(values, dtypes):
-        if v is None or v != v:  # None or NaN-null from pandas
+        if v is None or v is pd.NA or (v != v and t != "double"):
             continue
         if t == "string":
             h = _hash_bytes(str(v).encode("utf-8"), h)
@@ -157,10 +162,13 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
         elif t == "double":
             import struct as _struct
 
-            d = 0.0 if v == 0.0 else float(v)  # -0.0 normalizes to 0.0
-            h = _hash_long(
-                int.from_bytes(_struct.pack("<d", d), "little"), h
-            )
+            if v != v:  # Java doubleToLongBits collapses every NaN
+                h = _hash_long(0x7FF8000000000000, h)
+            else:
+                d = 0.0 if v == 0.0 else float(v)  # -0.0 normalizes
+                h = _hash_long(
+                    int.from_bytes(_struct.pack("<d", d), "little"), h
+                )
         else:
             raise NotImplementedError(f"xxhash64 twin: unsupported type {t}")
     return h - (1 << 64) if h >= 1 << 63 else h
@@ -183,13 +191,26 @@ class _BucketTask(InputPartition):
 
 def _read_bucket(root: str, rel_files: list[str], cols: list[str], dtypes):
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # nullable pandas dtypes keep parquet NULL distinct from a real NaN
+    # double (plain float64 collapses both to nan — the tie-break and
+    # diff would then treat a stored NaN as null, diverging from the
+    # engine, which hashes NaN and stringifies it as a value)
+    mapper = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.float64(): pd.Float64Dtype(),
+        pa.float32(): pd.Float32Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }.get
     frames = []
     for rel in rel_files:
         tbl = pq.read_table(os.path.join(root, rel))
         keep = [c for c in cols if c in tbl.column_names]
-        frames.append(tbl.select(keep).to_pandas())
+        frames.append(tbl.select(keep).to_pandas(types_mapper=mapper))
     if not frames:
         return pd.DataFrame(columns=cols)
     df = pd.concat(frames, ignore_index=True)
@@ -290,15 +311,35 @@ def _diff_states(old, new, keys: list[str], payload: list[str], dtypes):
 # ---------------------------------------------------------------------------
 
 
+def _meta_io():
+    # driver-side callbacks route through the same MetadataIO the
+    # engine uses (never bare open() under _meta — CLAUDE.md rule);
+    # POSIX is the only supported plane here (see _check_supported)
+    from picsure_dictionary_etl_spark.lake.metadata_io import PosixMetadataIO
+
+    return PosixMetadataIO()
+
+
 def _load_snapshot(root: str, version: int) -> Snapshot:
+    from picsure_dictionary_etl_spark.lake.consume import ChangeFeedRetentionError
+
     p = os.path.join(root, META_DIR, f"snap-{version:08d}.json")
-    with open(p, encoding="utf-8") as f:
-        return Snapshot.from_json(f.read())
+    try:
+        return Snapshot.from_json(_meta_io().read_text(p))
+    except FileNotFoundError:
+        raise ChangeFeedRetentionError(
+            f"snapshot v{version} of {root} is beyond retention (vacuumed). "
+            f"Start a fresh stream with .option('startversion', <oldest "
+            f"retained version>) — list {os.path.join(root, META_DIR)} for "
+            f"the surviving snap-*.json — or raise vacuum keep_snapshots to "
+            f"cover the slowest stream's lag"
+        ) from None
 
 
 def _current_version(root: str) -> int:
-    with open(os.path.join(root, META_DIR, VERSION_FILE), encoding="utf-8") as f:
-        return int(f.read().strip())
+    return int(
+        _meta_io().read_text(os.path.join(root, META_DIR, VERSION_FILE)).strip()
+    )
 
 
 def _check_supported(root: str, snap: Snapshot) -> None:
@@ -318,11 +359,38 @@ def _check_supported(root: str, snap: Snapshot) -> None:
 
 
 class _CdfStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("lake_cdf requires .option('path', <table_root>)")
         self.start_version = int(options.get("startversion", 0))
+        # columns are PINNED at stream start (the Structured Streaming
+        # contract: a source's schema is fixed for the query's
+        # lifetime). An additive evolve() mid-stream keeps streaming the
+        # declared columns — rows that only changed in a NEW column
+        # classify as unchanged until the stream restarts with the wider
+        # schema. Deriving per-batch from snap_to instead would emit
+        # tuples wider than the declared schema and fail the batch.
+        snap = _load_snapshot(self.root, _current_version(self.root))
+        self.keys = snap.key_cols
+        if schema is not None:
+            cols = [f.name for f in schema.fields]
+            self.dtypes = {
+                f.name: f.dataType.simpleString() for f in schema.fields
+            }
+        else:  # offsets-only use (tests); mirror schema() from the snapshot
+            cols = [f.name for f in snap.schema.fields]
+            self.dtypes = {
+                f.name: f.dataType.simpleString() for f in snap.schema.fields
+            }
+        self.payload = [
+            c
+            for c in cols
+            if c not in set(self.keys)
+            and c not in ("_change", "_op", "_lsn", "_del_lsn", "_pu")
+        ]
+        self.dtypes.setdefault("_op", "string")
+        self.dtypes.setdefault("_lsn", "bigint")
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -335,32 +403,38 @@ class _CdfStreamReader(DataSourceStreamReader):
         snap_from = _load_snapshot(self.root, sv)
         snap_to = _load_snapshot(self.root, ev)
         _check_supported(self.root, snap_to)
-        keys, payload = snap_to.key_cols, [
-            f.name
-            for f in snap_to.schema.fields
-            if f.name not in set(snap_to.key_cols)
-            and f.name not in ("_op", "_lsn", "_del_lsn", "_pu")
-        ]
-        dtypes = {
-            f.name: f.dataType.simpleString() for f in snap_to.schema.fields
-        }
         same_layout = (
             snap_from.bucket_count == snap_to.bucket_count
             and snap_from.bucket_by == snap_to.bucket_by
         )
-        all_buckets = set(snap_from.files) | set(snap_to.files)
+        if not same_layout:
+            # a rebucket inside the span moves keys across buckets: a
+            # per-bucket diff would emit spurious D+I for every moved
+            # key. Collapse to ONE global-diff task — exactly
+            # table_changes' semantics (it unions all buckets before
+            # diffing). Rebuckets are rare one-time maintenance; the
+            # next ordinary span fans back out per bucket.
+            return [
+                _BucketTask(
+                    root=self.root,
+                    keys=self.keys,
+                    payload=self.payload,
+                    dtypes=self.dtypes,
+                    old_files=snap_from.all_files(),
+                    new_files=snap_to.all_files(),
+                )
+            ]
         changed = sorted(
             b
-            for b in all_buckets
-            if not same_layout
-            or snap_from.files.get(b) != snap_to.files.get(b)
+            for b in set(snap_from.files) | set(snap_to.files)
+            if snap_from.files.get(b) != snap_to.files.get(b)
         )
         return [
             _BucketTask(
                 root=self.root,
-                keys=keys,
-                payload=payload,
-                dtypes=dtypes,
+                keys=self.keys,
+                payload=self.payload,
+                dtypes=self.dtypes,
                 old_files=snap_from.files.get(b, []),
                 new_files=snap_to.files.get(b, []),
             )
@@ -419,4 +493,4 @@ class LakeChangeFeedDataSource(DataSource):
         return T.StructType(fields)
 
     def streamReader(self, schema):
-        return _CdfStreamReader(self.options)
+        return _CdfStreamReader(self.options, schema)

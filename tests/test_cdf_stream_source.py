@@ -116,7 +116,8 @@ def test_python_xxhash64_matches_spark(spark):
 
     rows2 = [(datetime.datetime(2024, 5, 1, 12, 30, 15, 123456), 3.14159),
              (datetime.datetime(1969, 12, 31, 23, 59, 59), -0.0),
-             (None, 0.0)]
+             (None, 0.0),
+             (None, float("nan"))]  # NaN is a VALUE for doubles in Spark
     schema2 = T.StructType([T.StructField("t", T.TimestampType()),
                             T.StructField("d", T.DoubleType())])
     got2 = spark.createDataFrame(rows2, schema2).select(
@@ -165,6 +166,68 @@ def test_pandas_resolve_matches_engine_on_equal_lsn_ties(spark):
             ).itertuples()}
     assert mine == engine
     assert ("c1", 0) in engine  # the tie resolved to exactly one winner
+
+
+def test_stream_rebucket_span_matches_batch_cdf(spark, tmp_path):
+    """A rebucket inside the offset span moves keys across buckets: a
+    per-bucket diff would fabricate D+I for every moved key. The source
+    must collapse to one global-diff task and match table_changes
+    exactly (review finding r5)."""
+    from picsure_dictionary_etl_spark.lake.merge import rebucket
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root = str(tmp_path / "rb")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [
+        (i + 1, "I", f"c{i}", 0, "user", f"t{i}", None, TS) for i in range(8)
+    ]), "b1")
+    t = LakeTable.load(spark, root)
+    v_before = t.current_version()
+
+    rebucket(t, 8)  # keys redistribute across 8 buckets
+    r2 = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=8,
+                                       normalize=False))
+    r2.apply_batch(_ev(spark, [
+        (100, "U", "c0", 0, "user", "edited", None, TS)]), "b2")
+
+    t = LakeTable.load(spark, root)
+    rd = _CdfStreamReader({"path": root})
+    parts = rd.partitions({"version": v_before},
+                          {"version": t.current_version()})
+    assert len(parts) == 1  # global-diff fallback, not per-bucket
+
+    def naive(row):  # reader yields tz-aware UTC; collect() is naive UTC
+        return tuple(
+            v.replace(tzinfo=None) if isinstance(v, datetime.datetime) else v
+            for v in row
+        )
+
+    got = {naive(row) for p in parts for row in rd.read(p)}
+    want = {tuple(r) for r in
+            table_changes(t, v_before, t.current_version())
+            .select(*COLS).collect()}
+    assert got == want  # ONLY the real edit; no phantom D+I from moves
+    assert {row[0] for row in got} == {"U"}
+
+
+def test_vacuumed_offset_is_typed_retention_error(spark, tmp_path):
+    """A vacuumed from-version must surface the same typed retention
+    error the batch consumer gives — never a raw FileNotFoundError."""
+    from picsure_dictionary_etl_spark.lake.consume import ChangeFeedRetentionError
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    root = str(tmp_path / "vac")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False))
+    for i in range(4):
+        r.apply_batch(_ev(spark, [
+            (i + 1, "I", f"c{i}", 0, "user", "x", None, TS)]), f"b{i}")
+    r.table.vacuum(keep_snapshots=2)
+    rd = _CdfStreamReader({"path": root})
+    with pytest.raises(ChangeFeedRetentionError, match="startversion"):
+        rd.partitions({"version": 0}, {"version": 4})
 
 
 def test_unsupported_seams_are_typed_errors(spark, tmp_path):

@@ -425,6 +425,8 @@ def test_jpeg_honest_seams_and_corrupt():
         jc.decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
         jc.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any scan
+    with pytest.raises(ValueError):  # fill bytes to end of data: no IndexError
+        jc.decode_jpeg(b"\xff\xd8" + b"\xff" * 7)
 
 
 def test_png_codec_roundtrip_and_filters():
@@ -490,6 +492,16 @@ def test_png_codec_roundtrip_and_filters():
         pc.decode_png(bytes(bad))
     with pytest.raises(ValueError):
         pc.decode_png(b"junk")
+    # error contract: malformed internals are ValueError, never the raw
+    # zlib.error / struct.error leaking through (review finding r5)
+    with pytest.raises(ValueError, match="IDAT"):
+        pc.decode_png(bytes(
+            bytearray(pc._SIG)
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"definitely not zlib")
+            + chunk(b"IEND", b"")))
+    with pytest.raises(ValueError, match="IHDR"):
+        pc.decode_png(bytes(bytearray(pc._SIG) + chunk(b"IHDR", b"\x00\x01")))
 
 
 def test_simhash_fast_and_portable_paths_agree_on_duplicates(spark):
