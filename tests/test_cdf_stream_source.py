@@ -230,6 +230,53 @@ def test_vacuumed_offset_is_typed_retention_error(spark, tmp_path):
         rd.partitions({"version": 0}, {"version": 4})
 
 
+def test_randomized_spans_match_batch_cdf(spark, tmp_path):
+    """Seeded random workload (inserts/updates/deletes over a small hot
+    key space, shuffled arrival order): for EVERY version span the
+    reader's union-of-partitions output must equal table_changes —
+    the streaming source's core contract under arbitrary histories."""
+    import random
+
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    rng = random.Random(7)
+    root = str(tmp_path / "rand")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4,
+                                      normalize=False))
+    lsn = 0
+    for b in range(3):
+        rows = []
+        for _ in range(40):
+            lsn += 1
+            conv, turn = f"c{rng.randrange(6)}", rng.randrange(3)
+            op = rng.choice(["I", "U", "U", "D"])
+            if op == "D":
+                rows.append((lsn, "D", conv, turn, None, None, None, None))
+            else:
+                rows.append((lsn, op, conv, turn, "user",
+                             f"t{lsn}", None, TS))
+        r.apply_batch(_ev(spark, rows), f"b{b}")
+
+    t = LakeTable.load(spark, root)
+    cur = t.current_version()
+    rd = _CdfStreamReader({"path": root})
+
+    def naive(row):
+        return tuple(
+            v.replace(tzinfo=None) if isinstance(v, datetime.datetime) else v
+            for v in row
+        )
+
+    for sv in range(cur):
+        for ev_ in range(sv + 1, cur + 1):
+            got = {naive(row)
+                   for p in rd.partitions({"version": sv}, {"version": ev_})
+                   for row in rd.read(p)}
+            want = {tuple(r) for r in
+                    table_changes(t, sv, ev_).select(*COLS).collect()}
+            assert got == want, f"span {sv}->{ev_}"
+
+
 def test_unsupported_seams_are_typed_errors(spark, tmp_path):
     """Field-wise (_pu) tables and URI roots raise NotImplementedError
     at PLAN time — never silently-wrong streams."""
