@@ -1377,9 +1377,14 @@ FROM nodes n WHERE n.parent_path IS NOT NULL
 
 def q_index_aligned_pivot(spark, sf_dir):
     """F3: index-aligned columnar pivot (Facet_Concept_Lists layout) —
-    one column per event type, event ids listed down, rows aligned."""
+    one column per event type, event ids listed down, rows aligned.
+    Keys passed explicitly (sorted, like the reference —
+    DictionaryCSVService.java:455): no distinct-keys pre-job, pinned
+    column order."""
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
-    return pivots.index_aligned_pivot(ev, "event_type", "event_id")
+    return pivots.index_aligned_pivot(
+        ev, "event_type", "event_id",
+        keys=["click", "error", "purchase", "signup", "view"])
 
 
 SQL_INDEX_ALIGNED_PIVOT = """

@@ -6,9 +6,11 @@ images (pure numpy parse, box-average resize, re-encode), PCM WAV
 audio (stdlib ``wave`` + numpy) and baseline sequential JPEG (the
 from-scratch pure-numpy codec in :mod:`~.jpeg_codec`: huffman entropy
 decode, dequant, zigzag, IDCT, YCbCr->RGB) — see :func:`decode_media`
-/ :func:`resize_ppm_images` / :func:`image_channel_sums`, with
-deterministic synthetic generators for tests. Codecs that genuinely
-need external libraries (PNG, progressive/subsampled JPEG, MP4 frame
+/ :func:`resize_ppm_images` / :func:`image_channel_sums`, plus
+baseline PNG (the pure-stdlib codec in :mod:`~.png_codec`: zlib
+inflate + all five unfilters) — with deterministic synthetic
+generators for tests. Codecs that genuinely need external libraries
+(progressive/subsampled JPEG, Adam7/palette/16-bit PNG, MP4 frame
 extraction) remain honestly stubbed: ``_fake_decode`` produces a
 deterministic byte-statistics vector so the Spark-side plumbing —
 schema, batch shape, partitioning — stays fully testable, and
@@ -197,14 +199,15 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
-    """Stub seam for codecs the container can't decode (PNG,
-    progressive/subsampled JPEG, MP4). PPM images, baseline JPEG and
-    PCM WAV audio decode for real — see :func:`decode_media` /
+    """Stub seam for codecs the container can't decode (MP4,
+    progressive/subsampled JPEG, Adam7/palette/16-bit PNG). PPM images,
+    baseline JPEG, baseline 8-bit truecolor PNG and PCM WAV audio
+    decode for real — see :func:`decode_media` /
     :func:`resize_ppm_images` / :func:`image_channel_sums`."""
     raise NotImplementedError(
-        "PNG/MP4 (and progressive JPEG) codecs are not available in this "
-        "environment; PPM, baseline-JPEG and WAV payloads decode for real "
-        "via decode_media()/image_channel_sums()"
+        "MP4 (and progressive JPEG / Adam7-PNG) codecs are not available "
+        "in this environment; PPM, baseline-JPEG, baseline-PNG and WAV "
+        "payloads decode for real via decode_media()/image_channel_sums()"
     )
 
 
@@ -467,7 +470,7 @@ def ppm_channel_sums(media: DataFrame) -> DataFrame:
 IMAGE_SUMS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("fmt", T.StringType(), False),  # ppm | jpeg
+        T.StructField("fmt", T.StringType(), False),  # ppm | jpeg | png
         T.StructField("r_sum", T.LongType(), False),
         T.StructField("g_sum", T.LongType(), False),
         T.StructField("b_sum", T.LongType(), False),

@@ -35,17 +35,18 @@ def melt(df: DataFrame, id_cols: list[str], value_cols: list[str], drop_blank: b
     return out
 
 
-def index_aligned_pivot(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def index_aligned_pivot(
+    df: DataFrame, group_col: str, value_col: str, keys: list[str] | None = None
+) -> DataFrame:
     """F3 (``Facet_Concept_Lists.csv``): one column per group, values
     listed down and index-aligned (``DictionaryCSVService.java:274-319``).
-    row_number per group + pivot; ragged columns pad with null."""
+    row_number per group + pivot; ragged columns pad with null. Passing
+    ``keys`` (the reference enumerates and sorts them,
+    ``DictionaryCSVService.java:455``) skips Spark's extra distinct-keys
+    job and pins deterministic column order."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(value_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .groupBy("_rn")
-        .pivot(group_col)
-        .agg(F.first(value_col))
-        .orderBy("_rn")
-    )
+    gb = df.withColumn("_rn", F.row_number().over(w)).groupBy("_rn")
+    piv = gb.pivot(group_col, keys) if keys else gb.pivot(group_col)
+    return piv.agg(F.first(value_col)).orderBy("_rn")

@@ -19,15 +19,43 @@ Scale design (mirrors :func:`~..lake.merge.table_changes` exactly):
 * **Executors read only that bucket's files** (old + new list) via
   pyarrow — no Spark-in-Spark, no driver collects; per-bucket work is
   bounded by bucket sizing exactly like the batch CDF.
+* **The resolve AND the diff are vectorized** (pandas/numpy column
+  masks, no per-row Python), and ``read()`` yields
+  ``pyarrow.RecordBatch`` chunks — the worker forwards them to the JVM
+  without the tuple-at-a-time conversion path, so a hot bucket with
+  millions of resolved rows stays a columnar pipeline end to end.
 * **LWW parity is bit-exact**: the per-bucket resolve orders rows by
   ``(_lsn, xxhash64(payload..., _op))`` using a pure-Python
   Spark-compatible XXH64 (verified against ``F.xxhash64`` in tests), so
   equal-LSN ties pick the SAME winner the engine does — never bare-LSN
-  ordering (the r3 determinism rule).
+  ordering (the r3 determinism rule). The tie hash is the ONLY per-row
+  Python left, and it runs only inside equal-LSN tie groups.
+* **NaN is a value, null is null** for double payloads, end to end: the
+  bucket read materializes pandas *nullable* dtypes (parquet NULL ->
+  ``pd.NA`` mask, stored NaN stays a float value), the diff compares
+  NaN==NaN as unchanged and NULL<->NaN as a change, and the arrow
+  output batch carries the NaN through — matching both
+  ``F.xxhash64``'s NaN-is-a-value convention and ``state_diff``'s
+  string-cast comparison (``'NaN' != NULL``).
+* **URI roots stream too**: metadata and bucket reads route through
+  ``pyarrow.fs`` (``file:``/``s3:``/``hdfs:``... — whatever
+  ``FileSystem.from_uri`` resolves) because datasource callbacks run in
+  plain Python workers with no JVM for Hadoop FileSystems; plain paths
+  keep the POSIX fast path. Unresolvable schemes raise a typed
+  NotImplementedError at plan time.
+* **Field-wise (``_pu``) tables resolve natively**: the pandas twin of
+  :func:`~..lake.merge.lww_winners_fieldwise` applies the full-row
+  marker rules (full rows specify EVERY field at their LSN, nulls
+  included; partial rows only their non-null fields; tombstones reset
+  the field clock via ``_del_lsn``) so ``partial_update_*`` tables get
+  the same streaming surface as row-policy ones.
 
-Documented v1 seams (typed errors, not silent wrongness): row-policy
-tables only (field-wise ``_pu`` tables raise), POSIX roots only (the
-datasource callbacks have no JVM to reach Hadoop FileSystems).
+Remaining v1 seams (typed errors at PLAN time, never silent
+wrongness): payload/key column types outside the xxhash64 twin's
+surface (date/decimal/binary/float32/...) are rejected when the stream
+is planned, and a caller-supplied ``.schema(...)`` must match the
+source schema exactly (a reordered payload would silently change the
+equal-LSN tie-break hash order).
 
 Reference analog: the reference's consumers re-read whole Postgres
 tables after every load (README.md:247-260); this streams only the
@@ -36,9 +64,9 @@ diff, continuously.
 
 from __future__ import annotations
 
-import json
 import os
-from dataclasses import dataclass
+import posixpath
+from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -129,6 +157,28 @@ def _hash_bytes(data: bytes, seed: int) -> int:
     return _fmix(h)
 
 
+# The payload/key column types the executor path supports end to end
+# (tie-break hash twin + vectorized diff + arrow output). Enforced at
+# PLAN time by _check_supported — a date/decimal/binary/float column
+# must fail at stream start, not mid-batch on the first equal-LSN tie.
+SUPPORTED_TYPES = frozenset(
+    {
+        "string",
+        "long",
+        "bigint",
+        "integer",
+        "int",
+        "short",
+        "smallint",
+        "byte",
+        "tinyint",
+        "boolean",
+        "timestamp",
+        "double",
+    }
+)
+
+
 def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
     """``F.xxhash64(c1, c2, ...)`` twin: seed-chained per column, null
     leaves the running hash unchanged, SIGNED int64 result. ``dtypes``
@@ -153,8 +203,6 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
             h = _hash_int(1 if v else 0, h)
         elif t == "timestamp":
             # Spark hashes timestamps as their micros-since-epoch long
-            import pandas as pd
-
             ts = pd.Timestamp(v)
             if ts.tzinfo is None:
                 ts = ts.tz_localize("UTC")
@@ -175,7 +223,45 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
 
 
 # ---------------------------------------------------------------------------
-# per-bucket resolve + diff (executor side, pyarrow/pandas)
+# filesystem plane (POSIX fast path; pyarrow.fs for URI roots — the
+# datasource callbacks run in plain Python workers with no JVM, so the
+# engine's HadoopMetadataIO is unreachable here by construction)
+# ---------------------------------------------------------------------------
+
+
+def _fs_and_base(root: str):
+    """(pyarrow FileSystem or None, base path). None = plain local path
+    (POSIX fast path, no pyarrow.fs indirection)."""
+    if "://" not in root and not root.startswith("file:"):
+        return None, root
+    import pyarrow.fs as pafs
+
+    uri = root
+    if uri.startswith("file:") and not uri.startswith("file://"):
+        uri = "file://" + uri[5:]  # file:/x -> file:///x (pyarrow needs //)
+    try:
+        return pafs.FileSystem.from_uri(uri)
+    except Exception as e:  # unresolvable scheme -> typed plan-time seam
+        raise NotImplementedError(
+            f"lake_cdf: pyarrow.fs cannot resolve table root {root!r} "
+            f"({e}); use ChangeFeedConsumer/table_changes on this scheme"
+        ) from None
+
+
+def _read_text(root: str, *rel: str) -> str:
+    fs, base = _fs_and_base(root)
+    if fs is None:
+        # local plane rides the engine's MetadataIO (never bare open()
+        # under _meta — CLAUDE.md rule)
+        from picsure_dictionary_etl_spark.lake.metadata_io import PosixMetadataIO
+
+        return PosixMetadataIO().read_text(os.path.join(base, *rel))
+    with fs.open_input_stream(posixpath.join(base, *rel)) as f:
+        return f.read().decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# per-bucket resolve + diff (executor side, pyarrow/pandas — vectorized)
 # ---------------------------------------------------------------------------
 
 
@@ -187,6 +273,11 @@ class _BucketTask(InputPartition):
     dtypes: dict[str, str]  # column -> spark simpleString
     old_files: list[str]
     new_files: list[str]
+    # system columns beyond (_op,_lsn) present in each side's snapshot
+    # schema; '_pu' present <=> that side resolves FIELD-WISE (mirrors
+    # resolve_live's dispatch + _read_raw's _system_extras per snapshot)
+    old_extras: list[str] = field(default_factory=list)
+    new_extras: list[str] = field(default_factory=list)
 
 
 def _read_bucket(root: str, rel_files: list[str], cols: list[str], dtypes):
@@ -206,9 +297,13 @@ def _read_bucket(root: str, rel_files: list[str], cols: list[str], dtypes):
         pa.float32(): pd.Float32Dtype(),
         pa.bool_(): pd.BooleanDtype(),
     }.get
+    fs, base = _fs_and_base(root)
     frames = []
     for rel in rel_files:
-        tbl = pq.read_table(os.path.join(root, rel))
+        if fs is None:
+            tbl = pq.read_table(os.path.join(base, rel))
+        else:
+            tbl = pq.read_table(posixpath.join(base, rel), filesystem=fs)
         keep = [c for c in cols if c in tbl.column_names]
         frames.append(tbl.select(keep).to_pandas(types_mapper=mapper))
     if not frames:
@@ -220,16 +315,14 @@ def _read_bucket(root: str, rel_files: list[str], cols: list[str], dtypes):
     return df[cols]
 
 
-def _resolve_live_pd(df, keys: list[str], payload: list[str], dtypes):
-    """Row-policy LWW twin of :func:`~..lake.merge.resolve_live`: winner
-    per key by (_lsn, xxhash64(payload..., _op)); tombstone winners drop.
-    The tie-break hash is computed ONLY for rows in (key, _lsn) tie
-    groups — the common unique-LSN path never pays the python hash."""
+def _tie_col(df, keys: list[str], payload: list[str], dtypes):
+    """int64 Series: xxhash64(payload..., _op) for rows inside
+    (keys,_lsn)-duplicated tie groups, 0 elsewhere — the deterministic
+    equal-LSN tie-break. The common unique-LSN path never pays the
+    python hash. (Hash order = payload in SNAPSHOT-SCHEMA order; the
+    reader pins that order at plan time.)"""
     import pandas as pd
 
-    if df.empty:
-        return df.iloc[0:0][keys + payload + ["_lsn"]]
-    df = df.reset_index(drop=True)
     tie = df.duplicated(subset=keys + ["_lsn"], keep=False)
     hcol = pd.Series(0, index=df.index, dtype="int64")
     if tie.any():
@@ -240,7 +333,16 @@ def _resolve_live_pd(df, keys: list[str], payload: list[str], dtypes):
             )
             for i in df.index[tie]
         ]
-    df = df.assign(_tie=hcol).sort_values(
+    return hcol
+
+
+def _resolve_live_pd(df, keys: list[str], payload: list[str], dtypes):
+    """Row-policy LWW twin of :func:`~..lake.merge.resolve_live`: winner
+    per key by (_lsn, xxhash64(payload..., _op)); tombstone winners drop."""
+    if df.empty:
+        return df.iloc[0:0].reindex(columns=keys + payload + ["_lsn"])
+    df = df.reset_index(drop=True)
+    df = df.assign(_tie=_tie_col(df, keys, payload, dtypes)).sort_values(
         keys + ["_lsn", "_tie"], kind="stable"
     )
     win = df.groupby(keys, as_index=False, sort=False, dropna=False).tail(1)
@@ -248,62 +350,209 @@ def _resolve_live_pd(df, keys: list[str], payload: list[str], dtypes):
     return live[keys + payload + ["_lsn"]].reset_index(drop=True)
 
 
-def _to_py(v, dtype: str):
-    """Pandas/numpy value -> what the Python worker serializes for the
-    declared Spark type. Parquet timestamps read back tz-NAIVE (their
-    stored micros are session-UTC); the arrow output path requires
-    tz-AWARE, so localize — never convert — to UTC."""
+def _resolve_live_pd_fieldwise(df, keys: list[str], payload: list[str], dtypes):
+    """FIELD-WISE twin of :func:`~..lake.merge.lww_winners_fieldwise`
+    (+ resolve_live's live filter): each payload column independently
+    takes its value from the latest event that SPECIFIED it, ordered by
+    (_lsn, tie-hash) — full rows (``_pu`` null/false) specify every
+    field at their LSN, nulls included (a committed null can never be
+    resurrected — CLAUDE.md rule); partial rows only their non-null
+    fields (read-time specification is always coalesce, see
+    resolve_live's docstring). A field's winner only survives if it
+    post-dates the key's delete boundary (max of 'D'-op LSNs and any
+    carried ``_del_lsn``); the row itself survives if the overall
+    latest event isn't a delete. Vectorized: one stable sort, then
+    per-group ``np.maximum.reduceat`` reductions — no per-row Python
+    beyond the shared tie-hash."""
+    import numpy as np
     import pandas as pd
 
-    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
-        return None
-    if dtype == "timestamp":
-        ts = pd.Timestamp(v)
-        ts = ts.tz_localize("UTC") if ts.tzinfo is None else ts.tz_convert("UTC")
-        return ts.to_pydatetime()
-    if dtype in ("long", "bigint", "integer", "int", "short", "smallint"):
-        return int(v)
-    if dtype == "double" or dtype == "float":
-        return float(v)
-    if dtype == "boolean":
-        return bool(v)
-    return v
+    out_cols = keys + payload + ["_lsn"]
+    if df.empty:
+        return df.iloc[0:0].reindex(columns=out_cols)
+    df = df.reset_index(drop=True)
+    s = df.assign(_tie=_tie_col(df, keys, payload, dtypes)).sort_values(
+        keys + ["_lsn", "_tie"], kind="stable"
+    ).reset_index(drop=True)
+    gid = s.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+    n = len(s)
+    seq = np.arange(n, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    last = np.r_[starts[1:], n] - 1  # per-group final (winning) row
+    lsn = s["_lsn"].to_numpy(dtype="int64")
+
+    NEG = np.iinfo(np.int64).min
+    op = s["_op"].to_numpy()
+    dl = np.where(op == "D", lsn, NEG)
+    if "_del_lsn" in s.columns:
+        carried = (
+            s["_del_lsn"].astype("Int64").to_numpy(dtype="int64", na_value=NEG)
+        )
+        dl = np.maximum(dl, carried)
+    dl_g = np.maximum.reduceat(dl, starts)
+
+    if "_pu" in s.columns:
+        full = ~s["_pu"].astype("boolean").fillna(False).to_numpy(dtype=bool)
+    else:
+        full = np.ones(n, dtype=bool)
+
+    data = {k: s[k].take(last).reset_index(drop=True) for k in keys}
+    for c in payload:
+        spec = full | s[c].notna().to_numpy(dtype=bool)
+        idx = np.where(spec, seq, np.int64(-1))
+        w = np.maximum.reduceat(idx, starts)
+        safe_w = np.where(w >= 0, w, 0)
+        alive = (w >= 0) & ((dl_g == NEG) | (lsn[safe_w] > dl_g))
+        vals = s[c].take(safe_w).reset_index(drop=True)
+        data[c] = vals.where(pd.Series(alive), other=pd.NA)
+    data["_lsn"] = pd.Series(lsn[last])
+    res = pd.DataFrame(data)
+    return res[op[last] != "D"].reset_index(drop=True)[out_cols]
 
 
-def _diff_states(old, new, keys: list[str], payload: list[str], dtypes):
-    """``state_diff`` twin: rows (_change, keys, new-side payload, lsn)."""
+def _col_same(o, n, t: str):
+    """Vectorized per-column 'unchanged' mask matching the engine's
+    string-cast comparison (state_diff): both-null is same, null vs
+    anything is a change; for doubles NaN==NaN is same (both cast to
+    'NaN'), NULL<->NaN is a change, and +0.0 vs -0.0 is a change
+    ('0.0' != '-0.0')."""
+    import numpy as np
+
+    na_o = o.isna().to_numpy(dtype=bool)
+    na_n = n.isna().to_numpy(dtype=bool)
+    if t in ("double", "float"):
+        do = o.to_numpy(dtype="float64", na_value=np.nan)
+        dn = n.to_numpy(dtype="float64", na_value=np.nan)
+        vo = np.isnan(do) & ~na_o  # stored NaN VALUES (not nulls)
+        vn = np.isnan(dn) & ~na_n
+        eq = ((do == dn) & (np.signbit(do) == np.signbit(dn))) | (vo & vn)
+        return (na_o & na_n) | (~na_o & ~na_n & eq)
+    eq = o == n
+    if hasattr(eq, "fillna"):
+        eq = eq.fillna(False)
+    return (na_o & na_n) | (~na_o & ~na_n & np.asarray(eq, dtype=bool))
+
+
+def _merge_indices(old, new, keys: list[str]):
+    """Outer-join the two states on the key columns, returning only
+    POSITIONAL indices (io, i_n; -1 = absent on that side). The join
+    runs on ONE packed int64 code column (factorize over both sides),
+    so no payload column is ever copied into a merged frame — output
+    materialization later is O(changes), not O(rows). Falls back to a
+    direct multi-column key merge on the (astronomically rare) bucket
+    whose per-key code-space product overflows int64."""
+    import numpy as np
     import pandas as pd
 
-    merged = old.merge(
-        new, on=keys, how="outer", suffixes=("_o", "_n"), indicator=True
+    n_o, n_n = len(old), len(new)
+    ko = np.zeros(n_o, dtype=np.int64)
+    kn = np.zeros(n_n, dtype=np.int64)
+    space = 1
+    for k in keys:
+        both = pd.concat([old[k], new[k]], ignore_index=True)
+        # use_na_sentinel=False: a null key is a regular code, so NA
+        # keys match each other — same as pandas' merge-on-keys
+        codes, uniques = pd.factorize(both, use_na_sentinel=False)
+        card = max(len(uniques), 1)
+        space *= card
+        if space > 2**62:
+            break
+        ko = ko * card + codes[:n_o]
+        kn = kn * card + codes[n_o:]
+    if space > 2**62:  # fallback: still index-only, just multi-column
+        lo = old[keys].assign(_io=np.arange(n_o, dtype=np.int64))
+        ln = new[keys].assign(_in=np.arange(n_n, dtype=np.int64))
+        m = lo.merge(ln, on=keys, how="outer")
+    else:
+        lo = pd.DataFrame({"_jk": ko, "_io": np.arange(n_o, dtype=np.int64)})
+        ln = pd.DataFrame({"_jk": kn, "_in": np.arange(n_n, dtype=np.int64)})
+        m = lo.merge(ln, on="_jk", how="outer")
+    io = m["_io"].astype("Int64").to_numpy(dtype="int64", na_value=-1)
+    i_n = m["_in"].astype("Int64").to_numpy(dtype="int64", na_value=-1)
+    return io, i_n
+
+
+def _diff_states_pd(old, new, keys: list[str], payload: list[str], dtypes):
+    """``state_diff`` twin, fully vectorized: an index-only outer join
+    on the keys, boolean column masks over positionally-aligned takes,
+    one output DataFrame (_change, keys, new-side payload — nulled for
+    D — and the change's _lsn). Only the kept change rows are ever
+    materialized."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["_change"] + keys + payload + ["_lsn"]
+    if len(old) == 0 and len(new) == 0:
+        return pd.DataFrame(columns=out_cols)
+    if len(old) == 0:  # everything inserts; nothing to compare
+        out = new[keys + payload + ["_lsn"]].reset_index(drop=True)
+        out.insert(0, "_change", "I")
+        return out[out_cols]
+    if len(new) == 0:  # everything deletes; payload nulls out
+        out = old[keys].reset_index(drop=True)
+        out.insert(0, "_change", "D")
+        for c in payload:
+            out[c] = pd.NA
+        out["_lsn"] = old["_lsn"].reset_index(drop=True)
+        return out[out_cols]
+
+    io, i_n = _merge_indices(old, new, keys)
+    has_o, has_n = io >= 0, i_n >= 0
+    safe_o, safe_n = np.where(has_o, io, 0), np.where(has_n, i_n, 0)
+    same = np.ones(len(io), dtype=bool)
+    for c in payload:
+        ov = old[c].take(safe_o).reset_index(drop=True)
+        nv = new[c].take(safe_n).reset_index(drop=True)
+        same &= _col_same(ov, nv, dtypes.get(c, "string"))
+    keep = ~(has_o & has_n) | ~same
+    so, sn = safe_o[keep], safe_n[keep]
+    ho, hn = has_o[keep], has_n[keep]
+    hn_s = pd.Series(hn)
+    data = {"_change": pd.Series(np.where(~ho, "I", np.where(~hn, "D", "U")))}
+    for k in keys:
+        kv_n = new[k].take(sn).reset_index(drop=True)
+        kv_o = old[k].take(so).reset_index(drop=True)
+        data[k] = kv_n.where(hn_s, kv_o)
+    for c in payload:  # new-side values; NA on deletes
+        data[c] = (
+            new[c].take(sn).reset_index(drop=True).where(hn_s, other=pd.NA)
+        )
+    data["_lsn"] = (
+        new["_lsn"].take(sn).reset_index(drop=True)
+        .where(hn_s, old["_lsn"].take(so).reset_index(drop=True))
     )
-    rows = []
-    for _, r in merged.iterrows():
-        if r["_merge"] == "right_only":
-            change = "I"
-        elif r["_merge"] == "left_only":
-            change = "D"
-        else:
-            same = all(
-                (pd.isna(r[f"{c}_o"]) and pd.isna(r[f"{c}_n"]))
-                or (
-                    not pd.isna(r[f"{c}_o"])
-                    and not pd.isna(r[f"{c}_n"])
-                    and r[f"{c}_o"] == r[f"{c}_n"]
+    return pd.DataFrame(data)[out_cols]
+
+
+_ARROW_CHUNK_ROWS = 1 << 17  # bound per-batch memory on huge hot buckets
+
+
+def _to_arrow_batches(pdf, out_schema, dtypes):
+    """pandas diff frame -> pyarrow.RecordBatch chunks whose arrow
+    types match Spark's to_arrow_schema of the declared output schema
+    (the worker forwards RecordBatches as-is). Timestamps stored
+    tz-naive (session-UTC micros) are LOCALIZED — never converted — to
+    UTC for the tz-aware arrow type."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_schema = to_arrow_schema(out_schema)
+    n = len(pdf)
+    for lo in range(0, n, _ARROW_CHUNK_ROWS):
+        chunk = pdf.iloc[lo : lo + _ARROW_CHUNK_ROWS]
+        arrays = []
+        for fld in pa_schema:
+            s = chunk[fld.name]
+            if dtypes.get(fld.name) == "timestamp":
+                s = pd.to_datetime(s)
+                s = (
+                    s.dt.tz_localize("UTC")
+                    if s.dt.tz is None
+                    else s.dt.tz_convert("UTC")
                 )
-                for c in payload
-            )
-            if same:
-                continue
-            change = "U"
-        key_vals = [_to_py(r[k], dtypes[k]) for k in keys]
-        pay_vals = [
-            None if change == "D" else _to_py(r[f"{c}_n"], dtypes[c])
-            for c in payload
-        ]
-        lsn = r["_lsn_n"] if change != "D" else r["_lsn_o"]
-        rows.append((change, *key_vals, *pay_vals, int(lsn)))
-    return rows
+            arrays.append(pa.Array.from_pandas(s, type=fld.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -311,51 +560,51 @@ def _diff_states(old, new, keys: list[str], payload: list[str], dtypes):
 # ---------------------------------------------------------------------------
 
 
-def _meta_io():
-    # driver-side callbacks route through the same MetadataIO the
-    # engine uses (never bare open() under _meta — CLAUDE.md rule);
-    # POSIX is the only supported plane here (see _check_supported)
-    from picsure_dictionary_etl_spark.lake.metadata_io import PosixMetadataIO
-
-    return PosixMetadataIO()
-
-
 def _load_snapshot(root: str, version: int) -> Snapshot:
     from picsure_dictionary_etl_spark.lake.consume import ChangeFeedRetentionError
 
-    p = os.path.join(root, META_DIR, f"snap-{version:08d}.json")
     try:
-        return Snapshot.from_json(_meta_io().read_text(p))
+        return Snapshot.from_json(
+            _read_text(root, META_DIR, f"snap-{version:08d}.json")
+        )
     except FileNotFoundError:
         raise ChangeFeedRetentionError(
             f"snapshot v{version} of {root} is beyond retention (vacuumed). "
             f"Start a fresh stream with .option('startversion', <oldest "
-            f"retained version>) — list {os.path.join(root, META_DIR)} for "
+            f"retained version>) — list {posixpath.join(root, META_DIR)} for "
             f"the surviving snap-*.json — or raise vacuum keep_snapshots to "
             f"cover the slowest stream's lag"
         ) from None
 
 
 def _current_version(root: str) -> int:
-    return int(
-        _meta_io().read_text(os.path.join(root, META_DIR, VERSION_FILE)).strip()
-    )
+    return int(_read_text(root, META_DIR, VERSION_FILE).strip())
 
 
 def _check_supported(root: str, snap: Snapshot) -> None:
-    if "://" in root or root.startswith("file:"):
+    """Typed plan-time seams: unresolvable root schemes and payload/key
+    types outside the executor path's surface fail at stream start —
+    never mid-batch on the first equal-LSN tie (r5 advice)."""
+    _fs_and_base(root)  # raises NotImplementedError on unknown schemes
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in snap.schema.fields
+        if f.name not in ("_op", "_lsn", "_del_lsn", "_pu")
+        and f.dataType.simpleString() not in SUPPORTED_TYPES
+    ]
+    if bad:
         raise NotImplementedError(
-            "lake_cdf streams POSIX roots only (datasource callbacks have "
-            "no JVM for Hadoop FileSystems); use ChangeFeedConsumer on URI roots"
+            f"lake_cdf v1 supports column types {sorted(SUPPORTED_TYPES)}; "
+            f"table {root} carries unsupported column(s) {bad} — use "
+            f"table_changes()/ChangeFeedConsumer for this table"
         )
-    if snap.properties.get("update_policy", "row") != "row" or any(
-        f.name == "_pu" for f in snap.schema.fields
-    ):
-        raise NotImplementedError(
-            "lake_cdf v1 resolves row-policy tables only; field-wise (_pu) "
-            "tables need the engine-side reduce — use table_changes()/"
-            "ChangeFeedConsumer"
-        )
+
+
+def _extras(snap: Snapshot) -> list[str]:
+    """_system_extras twin: system columns beyond (_op,_lsn) in this
+    snapshot's schema. '_pu' present <=> field-wise resolve."""
+    names = {f.name for f in snap.schema.fields}
+    return [c for c in ("_del_lsn", "_pu") if c in names]
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -369,26 +618,32 @@ class _CdfStreamReader(DataSourceStreamReader):
         # lifetime). An additive evolve() mid-stream keeps streaming the
         # declared columns — rows that only changed in a NEW column
         # classify as unchanged until the stream restarts with the wider
-        # schema. Deriving per-batch from snap_to instead would emit
-        # tuples wider than the declared schema and fail the batch.
+        # schema. Payload ORDER always derives from the snapshot schema
+        # (as schema() emits it): the equal-LSN tie-break hash is
+        # order-sensitive, so a caller-reordered .schema(...) would
+        # silently flip tie winners — reject it instead (r5 advice).
         snap = _load_snapshot(self.root, _current_version(self.root))
+        _check_supported(self.root, snap)
         self.keys = snap.key_cols
-        if schema is not None:
-            cols = [f.name for f in schema.fields]
-            self.dtypes = {
-                f.name: f.dataType.simpleString() for f in schema.fields
-            }
-        else:  # offsets-only use (tests); mirror schema() from the snapshot
-            cols = [f.name for f in snap.schema.fields]
-            self.dtypes = {
-                f.name: f.dataType.simpleString() for f in snap.schema.fields
-            }
+        expected = _output_schema(snap)
+        if schema is not None and [f.name for f in schema.fields] != [
+            f.name for f in expected.fields
+        ]:
+            raise ValueError(
+                f"lake_cdf: user-supplied schema columns "
+                f"{[f.name for f in schema.fields]} must match the source "
+                f"schema {[f.name for f in expected.fields]} exactly (column "
+                f"order pins the LWW tie-break hash order)"
+            )
+        self.out_schema = expected
         self.payload = [
-            c
-            for c in cols
-            if c not in set(self.keys)
-            and c not in ("_change", "_op", "_lsn", "_del_lsn", "_pu")
+            f.name
+            for f in expected.fields
+            if f.name not in set(self.keys) and f.name not in ("_change", "_lsn")
         ]
+        self.dtypes = {
+            f.name: f.dataType.simpleString() for f in snap.schema.fields
+        }
         self.dtypes.setdefault("_op", "string")
         self.dtypes.setdefault("_lsn", "bigint")
 
@@ -407,21 +662,28 @@ class _CdfStreamReader(DataSourceStreamReader):
             snap_from.bucket_count == snap_to.bucket_count
             and snap_from.bucket_by == snap_to.bucket_by
         )
-        if not same_layout:
-            # a rebucket inside the span moves keys across buckets: a
-            # per-bucket diff would emit spurious D+I for every moved
-            # key. Collapse to ONE global-diff task — exactly
-            # table_changes' semantics (it unions all buckets before
-            # diffing). Rebuckets are rare one-time maintenance; the
-            # next ordinary span fans back out per bucket.
+        same_policy = snap_from.properties.get(
+            "update_policy", "row"
+        ) == snap_to.properties.get("update_policy", "row")
+        common = dict(
+            root=self.root,
+            keys=self.keys,
+            payload=self.payload,
+            dtypes=self.dtypes,
+            old_extras=_extras(snap_from),
+            new_extras=_extras(snap_to),
+        )
+        if not (same_layout and same_policy):
+            # a rebucket inside the span moves keys across buckets (and
+            # a policy flip can re-resolve identical bytes): a
+            # per-bucket diff would emit spurious changes. Collapse to
+            # ONE global-diff task — exactly table_changes' fallback.
+            # Rare one-time maintenance; the next span fans back out.
             return [
                 _BucketTask(
-                    root=self.root,
-                    keys=self.keys,
-                    payload=self.payload,
-                    dtypes=self.dtypes,
                     old_files=snap_from.all_files(),
                     new_files=snap_to.all_files(),
+                    **common,
                 )
             ]
         changed = sorted(
@@ -431,38 +693,52 @@ class _CdfStreamReader(DataSourceStreamReader):
         )
         return [
             _BucketTask(
-                root=self.root,
-                keys=self.keys,
-                payload=self.payload,
-                dtypes=self.dtypes,
                 old_files=snap_from.files.get(b, []),
                 new_files=snap_to.files.get(b, []),
+                **common,
             )
             for b in changed
         ]
 
+    def _resolve_side(self, p: _BucketTask, rel_files, extras):
+        cols = p.keys + p.payload + ["_op", "_lsn"] + list(extras)
+        raw = _read_bucket(p.root, rel_files, cols, p.dtypes)
+        resolve = (
+            _resolve_live_pd_fieldwise if "_pu" in extras else _resolve_live_pd
+        )
+        return resolve(raw, p.keys, p.payload, p.dtypes)
+
     def read(self, partition: _BucketTask):
-        cols = (
-            partition.keys + partition.payload + ["_op", "_lsn"]
+        old = self._resolve_side(
+            partition, partition.old_files, partition.old_extras
         )
-        old = _resolve_live_pd(
-            _read_bucket(partition.root, partition.old_files, cols, partition.dtypes),
-            partition.keys,
-            partition.payload,
-            partition.dtypes,
+        new = self._resolve_side(
+            partition, partition.new_files, partition.new_extras
         )
-        new = _resolve_live_pd(
-            _read_bucket(partition.root, partition.new_files, cols, partition.dtypes),
-            partition.keys,
-            partition.payload,
-            partition.dtypes,
-        )
-        yield from _diff_states(
+        diff = _diff_states_pd(
             old, new, partition.keys, partition.payload, partition.dtypes
         )
+        yield from _to_arrow_batches(diff, self.out_schema, partition.dtypes)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side to ack
+
+
+def _output_schema(snap: Snapshot) -> T.StructType:
+    """The stream's output schema from a snapshot — field order must
+    mirror _diff_states_pd's frame exactly: _change, keys in KEY_COLS
+    order, payload in SCHEMA order, _lsn."""
+    by_name = {f.name: f for f in snap.schema.fields}
+    fields = [T.StructField("_change", T.StringType(), False)]
+    fields += [by_name[k] for k in snap.key_cols]
+    fields += [
+        f
+        for f in snap.schema.fields
+        if f.name not in set(snap.key_cols)
+        and f.name not in ("_op", "_lsn", "_del_lsn", "_pu")
+    ]
+    fields.append(T.StructField("_lsn", T.LongType(), True))
+    return T.StructType(fields)
 
 
 class LakeChangeFeedDataSource(DataSource):
@@ -478,19 +754,7 @@ class LakeChangeFeedDataSource(DataSource):
             raise ValueError("lake_cdf requires .option('path', <table_root>)")
         snap = _load_snapshot(root, _current_version(root))
         _check_supported(root, snap)
-        by_name = {f.name: f for f in snap.schema.fields}
-        # field order must mirror state_diff/_diff_states tuples exactly:
-        # _change, keys in KEY_COLS order, payload in schema order, _lsn
-        fields = [T.StructField("_change", T.StringType(), False)]
-        fields += [by_name[k] for k in snap.key_cols]
-        fields += [
-            f
-            for f in snap.schema.fields
-            if f.name not in set(snap.key_cols)
-            and f.name not in ("_op", "_lsn", "_del_lsn", "_pu")
-        ]
-        fields.append(T.StructField("_lsn", T.LongType(), True))
-        return T.StructType(fields)
+        return _output_schema(snap)
 
     def streamReader(self, schema):
         return _CdfStreamReader(self.options, schema)

@@ -20,6 +20,21 @@ TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
 COLS = ["_change", "conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"]
 
 
+def _reader_rows(rd, parts):
+    """Flatten the reader's pyarrow RecordBatch yield into value tuples
+    (tz-aware datetimes made naive to compare with collect())."""
+    out = set()
+    for p in parts:
+        for batch in rd.read(p):
+            for row in batch.to_pylist():
+                out.add(tuple(
+                    v.replace(tzinfo=None)
+                    if isinstance(v, datetime.datetime) else v
+                    for v in row.values()
+                ))
+    return out
+
+
 def _ev(spark, rows):
     return spark.createDataFrame(rows, change_event_schema())
 
@@ -198,13 +213,7 @@ def test_stream_rebucket_span_matches_batch_cdf(spark, tmp_path):
                           {"version": t.current_version()})
     assert len(parts) == 1  # global-diff fallback, not per-bucket
 
-    def naive(row):  # reader yields tz-aware UTC; collect() is naive UTC
-        return tuple(
-            v.replace(tzinfo=None) if isinstance(v, datetime.datetime) else v
-            for v in row
-        )
-
-    got = {naive(row) for p in parts for row in rd.read(p)}
+    got = _reader_rows(rd, parts)
     want = {tuple(r) for r in
             table_changes(t, v_before, t.current_version())
             .select(*COLS).collect()}
@@ -261,35 +270,168 @@ def test_randomized_spans_match_batch_cdf(spark, tmp_path):
     cur = t.current_version()
     rd = _CdfStreamReader({"path": root})
 
-    def naive(row):
-        return tuple(
-            v.replace(tzinfo=None) if isinstance(v, datetime.datetime) else v
-            for v in row
-        )
-
     for sv in range(cur):
         for ev_ in range(sv + 1, cur + 1):
-            got = {naive(row)
-                   for p in rd.partitions({"version": sv}, {"version": ev_})
-                   for row in rd.read(p)}
+            got = _reader_rows(
+                rd, rd.partitions({"version": sv}, {"version": ev_}))
             want = {tuple(r) for r in
                     table_changes(t, sv, ev_).select(*COLS).collect()}
             assert got == want, f"span {sv}->{ev_}"
 
 
-def test_unsupported_seams_are_typed_errors(spark, tmp_path):
-    """Field-wise (_pu) tables and URI roots raise NotImplementedError
-    at PLAN time — never silently-wrong streams."""
+def test_fieldwise_table_stream_matches_batch_cdf(spark, tmp_path):
+    """Field-wise (_pu) tables stream natively: the pandas twin of
+    lww_winners_fieldwise must match table_changes on EVERY span of a
+    partial-update history — full-row-marker rules, delete boundaries,
+    and equal-LSN ties included (r5 verdict item 4)."""
     from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
 
     root = str(tmp_path / "pu")
     r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
                                       normalize=False, update_policy="coalesce"))
-    r.apply_batch(_ev(spark, [(1, "I", "c1", 0, "user", "x", None, TS)]), "b1")
-    rd = _CdfStreamReader({"path": root})
-    with pytest.raises(NotImplementedError, match="field-wise"):
-        rd.partitions(rd.initialOffset(), rd.latestOffset())
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", "t0", TS),
+        (2, "I", "c2", 0, "user", "hi", None, TS)]), "b1")
+    # partial updates: only non-null fields specified
+    r.apply_batch(_ev(spark, [
+        (3, "U", "c1", 0, None, "hello EDITED", None, None),
+        (4, "U", "c2", 0, "assistant", None, None, None)]), "b2")
+    # delete + reinsert-partial + equal-LSN tie inside one batch
+    r.apply_batch(_ev(spark, [
+        (5, "D", "c1", 0, None, None, None, None),
+        (6, "U", "c1", 0, None, "post-delete", None, None),
+        (7, "U", "c2", 0, "tie-A", None, None, None),
+        (7, "U", "c2", 0, "tie-B", None, None, None)]), "b3")
 
-    with pytest.raises(NotImplementedError, match="POSIX"):
-        from picsure_dictionary_etl_spark.streaming.cdf_source import _check_supported
-        _check_supported(f"file:{root}", LakeTable.load(spark, root).current())
+    t = LakeTable.load(spark, root)
+    cur = t.current_version()
+    rd = _CdfStreamReader({"path": root})
+    for sv in range(cur):
+        for ev_ in range(sv + 1, cur + 1):
+            got = _reader_rows(
+                rd, rd.partitions({"version": sv}, {"version": ev_}))
+            want = {tuple(r) for r in
+                    table_changes(t, sv, ev_).select(*COLS).collect()}
+            assert got == want, f"span {sv}->{ev_}"
+
+
+def test_file_uri_root_stream_matches_batch_cdf(spark, tmp_path):
+    """URI-rooted tables stream through pyarrow.fs (the datasource
+    callbacks have no JVM) — reader output must equal table_changes,
+    and a registered availableNow pass must deliver the same rows
+    (r5 verdict item 3)."""
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root = f"file:{tmp_path}/uri"
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", None, TS),
+        (2, "I", "c2", 0, "user", "hi", None, TS)]), "b1")
+    r.apply_batch(_ev(spark, [
+        (3, "U", "c1", 0, "user", "edited", None, TS),
+        (4, "D", "c2", 0, None, None, None, None)]), "b2")
+
+    t = LakeTable.load(spark, root)
+    rd = _CdfStreamReader({"path": root})
+    got = _reader_rows(
+        rd, rd.partitions({"version": 0}, {"version": t.current_version()}))
+    want = {tuple(r) for r in
+            table_changes(t, 0, t.current_version()).select(*COLS).collect()}
+    assert got == want and len(got) == 1  # c1 insert+update folds; c2 I+D folds
+
+    got_stream = _collect_stream(spark, root,
+                                 str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    assert got_stream == want
+
+
+def test_nan_vs_null_doubles_match_batch_cdf(spark, tmp_path):
+    """A stored NaN double is a VALUE, not NULL (r5 advice): NaN->NaN
+    must classify unchanged, NULL->NaN must classify as an update, and
+    the streamed row must carry the NaN — exactly like table_changes'
+    string-cast compare ('NaN' != NULL)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    root = str(tmp_path / "nan")
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, root, schema=schema, key_cols=["id"],
+                         bucket_count=2)
+    ev_schema = T.StructType([
+        T.StructField("_lsn", T.LongType(), False),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), True),
+    ])
+    nan = float("nan")
+    merge_into(t, spark.createDataFrame(
+        [(1, "I", "a", nan), (2, "I", "b", None), (3, "I", "c", 1.5)],
+        ev_schema), "b1")
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame(
+        [(4, "U", "a", nan),     # NaN -> NaN: unchanged
+         (5, "U", "b", nan),     # NULL -> NaN: a change
+         (6, "U", "c", None)],   # value -> NULL: a change
+        ev_schema), "b2")
+    v2 = t.current_version()
+
+    rd = _CdfStreamReader({"path": root})
+    got = {}
+    for p in rd.partitions({"version": v1}, {"version": v2}):
+        for batch in rd.read(p):
+            for row in batch.to_pylist():
+                got[(row["_change"], row["id"])] = row["score"]
+    want = {}
+    for r in table_changes(t, v1, v2).collect():
+        want[(r["_change"], r["id"])] = r["score"]
+    assert set(got) == set(want) == {("U", "b"), ("U", "c")}
+    assert math.isnan(got[("U", "b")]) and math.isnan(want[("U", "b")])
+    assert got[("U", "c")] is None and want[("U", "c")] is None
+
+
+def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
+    """Remaining v1 seams fail at PLAN time with typed errors: payload
+    types outside the xxhash64 twin's surface, unresolvable root
+    schemes, and a caller-reordered schema (which would silently flip
+    the equal-LSN tie-break hash order)."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+        _check_supported,
+    )
+
+    root = str(tmp_path / "dt")
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    LakeTable.create(spark, root, schema=schema, key_cols=["id"],
+                     bucket_count=2)
+    with pytest.raises(NotImplementedError, match="d:date"):
+        _CdfStreamReader({"path": root})  # plan time, not first tie
+
+    ok_root = str(tmp_path / "ok")
+    r = CdcRunner(spark, RunnerConfig(table_root=ok_root, bucket_count=2,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [(1, "I", "c1", 0, "user", "x", None, TS)]), "b1")
+    snap = LakeTable.load(spark, ok_root).current()
+    with pytest.raises(NotImplementedError, match="scheme|resolve"):
+        _check_supported("weird-scheme://bucket/x", snap)
+
+    good = _CdfStreamReader({"path": ok_root}).out_schema
+    reordered = T.StructType(list(reversed(good.fields)))
+    with pytest.raises(ValueError, match="tie-break"):
+        _CdfStreamReader({"path": ok_root}, schema=reordered)

@@ -243,3 +243,27 @@ def test_cdf_reads_only_changed_buckets(spark, tmp_path):
     finally:
         t._read_files = orig
     assert read == []
+
+
+def test_keyed_pivot_skips_distinct_keys_job(spark):
+    """F3/F1: pivot WITH explicit keys must not run Spark's eager
+    distinct-values collection job at plan-build time (r5 verdict #6 —
+    the reference enumerates and sorts keys anyway,
+    DictionaryCSVService.java:455)."""
+    from picsure_dictionary_etl_spark.operators import pivots
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], ["grp", "val"])
+
+    sc.setJobGroup("pivot-keyed", "keyed pivot build")
+    keyed = pivots.index_aligned_pivot(df, "grp", "val", keys=["a", "b"])
+    assert list(sc.statusTracker().getJobIdsForGroup("pivot-keyed")) == []
+
+    sc.setJobGroup("pivot-unkeyed", "unkeyed pivot build")
+    unkeyed = pivots.index_aligned_pivot(df, "grp", "val")
+    assert len(sc.statusTracker().getJobIdsForGroup("pivot-unkeyed")) >= 1
+    sc.setJobGroup(None, None)
+
+    assert ({tuple(r) for r in keyed.collect()}
+            == {tuple(r) for r in unkeyed.collect()})
