@@ -1659,11 +1659,13 @@ def q_multimodal_real_decode(spark, sf_dir):
     scanline unfilters in operators/png_codec.py). Every pattern is a
     pure integer function of media_id — the JPEGs use constant 8x8
     blocks + all-ones quant tables, which survive the lossy pipeline
-    BIT-exactly; PPM/PNG are lossless outright — projected as
-    per-channel integer pixel SUMS, so the DuckDB twin recomputing the
-    patterns must match exactly. This is pixels actually decoded from
-    real image bytes, not the byte-statistics stub (sf-independent by
-    design: fixed 16 images per format)."""
+    BIT-exactly (ids ≡3 mod 4 are REAL 4:2:0 subsampled payloads with
+    constant non-neutral chroma, exercising the MCU-interleaved decode
+    + chroma upsample + color convert); PPM/PNG are lossless outright —
+    projected as per-channel integer pixel SUMS, so the DuckDB twin
+    recomputing the patterns must match exactly. This is pixels
+    actually decoded from real image bytes, not the byte-statistics
+    stub (sf-independent by design: fixed 16 images per format)."""
     ppm = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
     jpg = multimodal.synthetic_jpeg_media(spark, 16, width=32, height=24)
     png = multimodal.synthetic_png_media(spark, 16, width=32, height=24)
@@ -1697,6 +1699,27 @@ SELECT media_id, 'jpeg' AS fmt,
        CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS g_sum,
        CAST(sum(64 * ((media_id * 11 + bx * 7 + by * 13) % 256)) AS BIGINT) AS b_sum
 FROM ids, blocks
+WHERE media_id % 4 != 3
+GROUP BY media_id
+UNION ALL
+-- ids ≡3 (mod 4): 4:2:0 payloads, constant per-image chroma
+-- cb=(id*17+40)%256, cr=(id*29+60)%256 — each 8x8 block decodes to one
+-- constant RGB via the T.871 inverse (round-half-even like numpy does
+-- not differ from round() here: the irrational coefficients never land
+-- exactly on .5 for integer inputs)
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(sum(64 * LEAST(255, GREATEST(0, round(
+           ((media_id * 11 + bx * 7 + by * 13) % 256)
+           + 1.402 * (((media_id * 29 + 60) % 256) - 128))))) AS BIGINT) AS r_sum,
+       CAST(sum(64 * LEAST(255, GREATEST(0, round(
+           ((media_id * 11 + bx * 7 + by * 13) % 256)
+           - 0.344136 * (((media_id * 17 + 40) % 256) - 128)
+           - 0.714136 * (((media_id * 29 + 60) % 256) - 128))))) AS BIGINT) AS g_sum,
+       CAST(sum(64 * LEAST(255, GREATEST(0, round(
+           ((media_id * 11 + bx * 7 + by * 13) % 256)
+           + 1.772 * (((media_id * 17 + 40) % 256) - 128))))) AS BIGINT) AS b_sum
+FROM ids, blocks
+WHERE media_id % 4 = 3
 GROUP BY media_id
 UNION ALL
 SELECT media_id, 'png' AS fmt,
@@ -1743,21 +1766,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict (56 entries total). Rotation policy (r5): the
-    # 5 queries whose last driver row is oldest lead (r3-certified tail
-    # of r4 — simhash_duplicates/eav_*/distinct_sorted/count_per_key),
-    # the re-fixed flagship and the new audio certification follow, and
-    # the tail (indices 50-55) holds SIX trivial queries freshly
-    # certified in r4 (token_counts, sorted_export, group_size_max,
-    # depth_layer_counts, canonical_json_hash, doc_fingerprint) so
-    # every entry's driver evidence stays <=2 rounds old and the
-    # bounded prefix never ships an unverified operator.
+    # prefix of this dict (56 entries total). Rotation policy (r6,
+    # same rule as r5): the queries whose last driver row is OLDEST
+    # lead the prefix — the six trivials whose evidence is from r4
+    # (token_counts, sorted_export, group_size_max, depth_layer_counts,
+    # canonical_json_hash, doc_fingerprint) re-enter slots 0-5 — and
+    # the tail (indices 50-55) holds six simple queries freshly
+    # certified in r5 (distinct_sorted, count_per_key, eav_pivot,
+    # eav_unpivot, first_wins_pick, study_filter), so every entry's
+    # driver evidence stays <=2 rounds old and the bounded prefix
+    # never ships an unverified operator.
     return {
+        "token_counts": q_token_counts,
+        "sorted_export": q_sorted_export,
+        "group_size_max": q_group_size_max,
+        "depth_layer_counts": q_depth_layer_counts,
+        "canonical_json_hash": q_canonical_json_hash,
+        "doc_fingerprint": q_doc_fingerprint,
         "simhash_duplicates": q_simhash_duplicates,
-        "eav_unpivot": q_eav_unpivot,
-        "eav_pivot": q_eav_pivot,
-        "distinct_sorted": q_distinct_sorted,
-        "count_per_key": q_count_per_key,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_real_decode_audio": q_multimodal_real_decode_audio,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1776,8 +1802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
-        "first_wins_pick": q_first_wins_pick,
-        "study_filter": q_study_filter,
         "path_prefix_explode": q_path_prefix_explode,
         "leaf_paths": q_leaf_paths,
         "facet_expression_filter": q_facet_expression_filter,
@@ -1803,15 +1827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        # --- tail (beyond the driver's 50-slot prefix): trivial queries
-        # --- with a fresh r4 driver-green row, still oracled every run
+        # --- tail (beyond the driver's 50-slot prefix): simple queries
+        # --- with a fresh r5 driver-green row, still oracled every run
         # --- by tests/test_entry_oracle.py.
-        "token_counts": q_token_counts,
-        "sorted_export": q_sorted_export,
-        "group_size_max": q_group_size_max,
-        "depth_layer_counts": q_depth_layer_counts,
-        "canonical_json_hash": q_canonical_json_hash,
-        "doc_fingerprint": q_doc_fingerprint,
+        "distinct_sorted": q_distinct_sorted,
+        "count_per_key": q_count_per_key,
+        "eav_pivot": q_eav_pivot,
+        "eav_unpivot": q_eav_unpivot,
+        "first_wins_pick": q_first_wins_pick,
+        "study_filter": q_study_filter,
     }
 
 

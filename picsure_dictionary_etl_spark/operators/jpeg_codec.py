@@ -2,11 +2,18 @@
 
 The container has no imaging libraries, so real JPEG coverage is built
 from the public spec: a baseline **sequential** decoder (8-bit, huffman
-entropy coding, 1- or 3-component without chroma subsampling) and a
-minimal writer used to mint deterministic certification payloads.
-Progressive scans (SOF2), arithmetic coding, 12-bit precision and
-subsampled chroma stay an honest ``NotImplementedError`` seam — exactly
-like the PPM/WAV split in ``operators/multimodal.py``.
+entropy coding, 1- or 3-component, interleaved scans with ANY dividing
+sampling factors — 4:4:4, 4:2:2 and the ubiquitous 4:2:0 included) and
+a minimal writer used to mint deterministic certification payloads
+(4:4:4 or subsampled). Progressive scans (SOF2), arithmetic coding,
+12-bit precision and non-interleaved multi-scan files stay an honest
+``NotImplementedError`` seam — exactly like the PPM/WAV split in
+``operators/multimodal.py``.
+
+Subsampled chroma upsamples by pixel replication (JFIF allows any
+upsampling filter; replication is the exact inverse of box-average
+downsampling on *constant* chroma, which is what the certification
+payloads use — see below).
 
 Certification trick (same pattern as the PPM integer oracle): images
 built from CONSTANT 8x8 blocks encoded with an all-ones quantization
@@ -15,9 +22,12 @@ integer DC coefficient (``8 * (v - 128)``) and zero ACs, so nothing is
 lost to quantization and the decoder's float IDCT lands within 1e-13 of
 the integer before the final round. An independent engine (DuckDB) can
 therefore recompute the decoded channel sums with pure integer
-arithmetic. The decoder itself is general: it huffman-decodes, applies
-DC prediction/restart-marker resets, dequantizes, inverse-zigzags,
-IDCTs and color-converts any baseline 4:4:4 stream.
+arithmetic. The same trick certifies 4:2:0: a chroma plane that is
+CONSTANT over each MCU survives box-average downsampling and
+replication upsampling bit-exactly. The decoder itself is general: it
+huffman-decodes, applies DC prediction/restart-marker resets,
+dequantizes, inverse-zigzags, IDCTs, upsamples and color-converts any
+baseline interleaved stream.
 
 Reference analog: the reference ships no codecs at all (media is out of
 scope for picsure-dictionary-etl); this module backs the LLM-pipeline
@@ -228,11 +238,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"illegal sampling factors {hs}x{vs}")
+                comps.append((cid, (hs, vs), tq))
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is one data unit
+                # per MCU regardless of declared factors
+                comps = [(comps[0][0], (1, 1), comps[0][2])]
+            hmax = max(hs for _, (hs, _), _ in comps)
+            vmax = max(vs for _, (_, vs), _ in comps)
+            if any(hmax % hs or vmax % vs for _, (hs, vs), _ in comps):
+                raise NotImplementedError(
+                    f"non-dividing sampling factors unsupported: "
+                    f"{[(hs, vs) for _, (hs, vs), _ in comps]}"
+                )
             frame = (h, w, comps)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
@@ -249,6 +269,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported"
+                )
             scan_tables = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -261,46 +285,70 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     raise ValueError("no scan (SOS) found")
 
 
+def _decode_one_block(reader, huff_dc, huff_ac, td, ta, pred, ci, q):
+    """One 8x8 data unit: huffman + DC prediction -> dequant ->
+    inverse zigzag -> IDCT -> level-shifted clipped pixels."""
+    coef = np.zeros(64, dtype=np.int32)
+    s = reader.huff(huff_dc[td])
+    diff = _extend(reader.bits(s), s) if s else 0
+    pred[ci] += diff
+    coef[0] = pred[ci]
+    k = 1
+    while k < 64:
+        sym = reader.huff(huff_ac[ta])
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL: 16 zeros
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        coef[k] = _extend(reader.bits(size), size)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[ZIGZAG] = coef * q
+    spatial = _T.T @ block.reshape(8, 8) @ _T
+    return np.clip(np.round(spatial + 128.0), 0, 255)
+
+
 def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri):
     h, w, comps = frame
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.int32) for _ in comps]
+    hmax = max(hs for _, (hs, _), _ in comps)
+    vmax = max(vs for _, (_, vs), _ in comps)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mch * vs * 8, mcw * hs * 8), dtype=np.int32)
+        for _, (hs, vs), _ in comps
+    ]
     reader = _BitReader(b, pos)
     pred = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mch):
+        for mx in range(mcw):
             if dri and mcu and mcu % dri == 0:
                 reader.restart()
                 pred = [0] * len(comps)
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, (hs, vs), tq) in enumerate(comps):
                 td, ta = scan_tables[cid]
-                coef = np.zeros(64, dtype=np.int32)
-                s = reader.huff(huff_dc[td])
-                diff = _extend(reader.bits(s), s) if s else 0
-                pred[ci] += diff
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.huff(huff_ac[ta])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0x0F
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    coef[k] = _extend(reader.bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = coef * qt[tq]
-                spatial = _T.T @ block.reshape(8, 8) @ _T
-                px = np.clip(np.round(spatial + 128.0), 0, 255)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                # hs*vs data units per MCU, raster order (T.81 A.2.3)
+                for vy in range(vs):
+                    for vx in range(hs):
+                        px = _decode_one_block(
+                            reader, huff_dc, huff_ac, td, ta, pred, ci, qt[tq]
+                        )
+                        r0, c0 = (my * vs + vy) * 8, (mx * hs + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components by replication, then crop
+    full = []
+    for ci, (cid, (hs, vs), tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p)
+    planes = [p[:h, :w] for p in full]
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -345,18 +393,27 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(planes, qtable=None) -> bytes:
-    """Write a baseline sequential JFIF from 1 (grayscale) or 3 (YCbCr,
-    4:4:4) uint8 planes of identical shape. All components share the
-    Annex K luminance huffman tables and one quantization table
-    (default all-ones — lossless for integer-DCT inputs such as
-    constant blocks, the certification contract)."""
+def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
+    """Write a baseline sequential JFIF from 1 (grayscale) or 3 (YCbCr)
+    uint8 planes of identical full-resolution shape. ``sampling=(H,V)``
+    sets the LUMA sampling factors — chroma planes are box-average
+    downsampled by (H,V) and declared 1x1, so ``(2,2)`` emits 4:2:0,
+    ``(2,1)`` 4:2:2, and the default ``(1,1)`` 4:4:4. All components
+    share the Annex K luminance huffman tables and one quantization
+    table (default all-ones — lossless for integer-DCT inputs such as
+    constant blocks; with MCU-constant chroma the subsampled pipeline
+    is lossless too, the certification contract)."""
     planes = [np.asarray(p, dtype=np.uint8) for p in planes]
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 planes required")
     h, w = planes[0].shape
     if any(p.shape != (h, w) for p in planes):
-        raise ValueError("planes must share one shape (4:4:4)")
+        raise ValueError("planes must share one full-resolution shape")
+    hs, vs = sampling or (1, 1)
+    if len(planes) == 1:
+        hs, vs = 1, 1
+    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+        raise ValueError(f"illegal sampling factors {hs}x{vs}")
     q = (
         np.ones(64, dtype=np.int32)
         if qtable is None
@@ -371,7 +428,8 @@ def encode_jpeg(planes, qtable=None) -> bytes:
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([len(planes)])
     for ci in range(len(planes)):
-        sof += bytes([ci + 1, 0x11, 0])
+        hv = (hs << 4) | vs if ci == 0 else 0x11
+        sof += bytes([ci + 1, hv, 0])
     out += _seg(0xC0, sof)
     out += _seg(
         0xC4,
@@ -384,17 +442,37 @@ def encode_jpeg(planes, qtable=None) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = [np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") for p in planes]
+    mcw, mch = -(-w // (8 * hs)), -(-h // (8 * vs))
+    ph, pw = mch * vs * 8, mcw * hs * 8  # full-res padded dims
+    padded = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    # chroma: box-average downsample by (vs, hs) -> (mch*8, mcw*8)
+    comp_planes = [padded[0]]
+    for p in padded[1:]:
+        if hs == 1 and vs == 1:
+            comp_planes.append(p)
+        else:
+            sub = p.astype(np.float64).reshape(
+                ph // vs, vs, pw // hs, hs
+            ).mean(axis=(1, 3))
+            comp_planes.append(
+                np.clip(np.round(sub), 0, 255).astype(np.uint8)
+            )
+    factors = [(hs, vs)] + [(1, 1)] * (len(planes) - 1)
     wtr = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, p in enumerate(padded):
-                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-                f = _T @ (blk - 128.0) @ _T.T
-                zz = np.round(f.reshape(64)[ZIGZAG] / q).astype(np.int64)
-                _encode_block(wtr, zz, pred, ci, dc_codes, ac_codes)
+    for my in range(mch):
+        for mx in range(mcw):
+            for ci, p in enumerate(comp_planes):
+                fh, fv = factors[ci]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        r0, c0 = (my * fv + vy) * 8, (mx * fh + vx) * 8
+                        blk = p[r0 : r0 + 8, c0 : c0 + 8].astype(np.float64)
+                        f = _T @ (blk - 128.0) @ _T.T
+                        zz = np.round(f.reshape(64)[ZIGZAG] / q).astype(np.int64)
+                        _encode_block(wtr, zz, pred, ci, dc_codes, ac_codes)
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

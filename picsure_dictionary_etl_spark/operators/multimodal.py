@@ -544,8 +544,13 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
     BIT-exact and an oracle can recompute the decoded channel sums with
     integer arithmetic (see :mod:`~.jpeg_codec` for why constant
     blocks survive quantization losslessly). Even ids are 1-component
-    grayscale; odd ids exercise the 3-component 4:4:4 YCbCr path with
-    neutral chroma (Cb=Cr=128 -> RGB == Y exactly)."""
+    grayscale; ids ≡1 (mod 4) exercise the 3-component 4:4:4 YCbCr
+    path with neutral chroma (Cb=Cr=128 -> RGB == Y exactly); ids ≡3
+    (mod 4) exercise REAL **4:2:0 chroma subsampling** with non-neutral
+    image-constant chroma — a constant chroma plane survives the
+    box-average downsample + replication upsample bit-exactly, so the
+    color conversion stays an exact integer-in/float-round function the
+    oracle can replay."""
     if width % 8 or height % 8:
         raise ValueError("certification payloads need multiple-of-8 dims")
 
@@ -562,6 +567,10 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
                 y = np.kron(v, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
                 if int(mid) % 2 == 0:
                     payload = encode_jpeg([y])
+                elif int(mid) % 4 == 3:  # 4:2:0, constant non-neutral chroma
+                    cb = np.full_like(y, (int(mid) * 17 + 40) % 256)
+                    cr = np.full_like(y, (int(mid) * 29 + 60) % 256)
+                    payload = encode_jpeg([y, cb, cr], sampling=(2, 2))
                 else:
                     neutral = np.full_like(y, 128)
                     payload = encode_jpeg([y, neutral, neutral])

@@ -418,15 +418,66 @@ def test_jpeg_honest_seams_and_corrupt():
     sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     with pytest.raises(NotImplementedError, match="progressive"):
         jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC2, sof_payload))
-    subsampled = bytes([8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC0, subsampled))
+    # non-DIVIDING sampling factors (3,2 luma vs 2,1 chroma) stay a
+    # typed seam; plain 4:2:0/4:2:2 decode for real since r6
+    weird = bytes([8, 0, 16, 0, 16, 3, 1, 0x32, 0, 2, 0x21, 1, 3, 0x11, 1])
+    with pytest.raises(NotImplementedError, match="non-dividing"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC0, weird))
     with pytest.raises(ValueError):
         jc.decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
         jc.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any scan
     with pytest.raises(ValueError):  # fill bytes to end of data: no IndexError
         jc.decode_jpeg(b"\xff\xd8" + b"\xff" * 7)
+
+
+def test_jpeg_subsampled_roundtrip_exact():
+    """4:2:0 and 4:2:2 (r5 verdict stretch item): block-constant luma +
+    MCU-constant chroma survive the subsampled pipeline BIT-exactly —
+    constant chroma is a fixed point of box-average downsampling and
+    replication upsampling, so the only arithmetic left is the same
+    exact constant-block DCT as 4:4:4. Odd (non-multiple-of-MCU) dims
+    exercise the edge-pad + crop path."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(42)
+
+    def block_plane(h, w, bs_y, bs_x):
+        bh, bw = -(-h // bs_y), -(-w // bs_x)
+        vals = rng.integers(0, 256, size=(bh, bw), dtype=np.int64)
+        return np.repeat(np.repeat(vals, bs_y, axis=0), bs_x, axis=1)[
+            :h, :w
+        ].astype(np.uint8)
+
+    def expected_rgb(y, cb, cr):
+        yf, cbf, crf = (p.astype(np.float64) for p in (y, cb, cr))
+        r = np.clip(np.round(yf + 1.402 * (crf - 128)), 0, 255)
+        g = np.clip(np.round(yf - 0.344136 * (cbf - 128)
+                             - 0.714136 * (crf - 128)), 0, 255)
+        b = np.clip(np.round(yf + 1.772 * (cbf - 128)), 0, 255)
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    for h, w in [(32, 32), (19, 13), (17, 33)]:  # incl. ragged MCUs
+        y = block_plane(h, w, 8, 8)
+        cb, cr = block_plane(h, w, 16, 16), block_plane(h, w, 16, 16)
+        got = jc.decode_jpeg(jc.encode_jpeg([y, cb, cr], sampling=(2, 2)))
+        assert got.shape == (h, w, 3)
+        assert (got == expected_rgb(y, cb, cr)).all(), (h, w, "4:2:0")
+
+    for h, w in [(16, 32), (19, 13)]:
+        y = block_plane(h, w, 8, 8)
+        cb, cr = block_plane(h, w, 8, 16), block_plane(h, w, 8, 16)
+        got = jc.decode_jpeg(jc.encode_jpeg([y, cb, cr], sampling=(2, 1)))
+        assert (got == expected_rgb(y, cb, cr)).all(), (h, w, "4:2:2")
+
+    # gradient content through 4:2:0 with quant=1: only DCT/round noise
+    yy, xx = np.mgrid[0:24, 0:32]
+    y = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    cb = cr = np.full_like(y, 128)
+    got = jc.decode_jpeg(jc.encode_jpeg([y, cb, cr], sampling=(2, 2)))
+    assert np.abs(got[:, :, 0].astype(int) - y.astype(int)).max() <= 2
 
 
 def test_png_codec_roundtrip_and_filters():
