@@ -1661,8 +1661,12 @@ def q_multimodal_real_decode(spark, sf_dir):
     blocks + all-ones quant tables, which survive the lossy pipeline
     BIT-exactly (ids ≡3 mod 4 are REAL 4:2:0 subsampled payloads with
     constant non-neutral chroma, exercising the MCU-interleaved decode
-    + chroma upsample + color convert); PPM/PNG are lossless outright —
-    projected as per-channel integer pixel SUMS, so the DuckDB twin
+    + chroma upsample + color convert); PPM/PNG are lossless outright.
+    The 16 PNG ids rotate through five format variants (id % 5):
+    plain 8-bit RGB, Adam7-interlaced, 16-bit (samples gradient*257,
+    high-byte reduction exact), palette (color type 3) and grey+alpha
+    — so one query certifies every decode path in png_codec.py.
+    Projected as per-channel integer pixel SUMS, so the DuckDB twin
     recomputing the patterns must match exactly. This is pixels
     actually decoded from real image bytes, not the byte-statistics
     stub (sf-independent by design: fixed 16 images per format)."""
@@ -1722,11 +1726,35 @@ FROM ids, blocks
 WHERE media_id % 4 = 3
 GROUP BY media_id
 UNION ALL
+-- PNG ids % 5 in (0,1,2): the same RGB gradient emitted as plain
+-- 8-bit, Adam7-interlaced and 16-bit (*257) payloads — interlacing
+-- only reorders scanlines and the 16-bit high-byte reduction inverts
+-- *257 exactly, so all three variants share one sum formula
 SELECT media_id, 'png' AS fmt,
        CAST(sum((x * 5 + media_id) % 256) AS BIGINT)              AS r_sum,
        CAST(sum((y * 7 + media_id * 5) % 256) AS BIGINT)          AS g_sum,
        CAST(sum((x * 2 + y * 3 + media_id * 11) % 256) AS BIGINT) AS b_sum
 FROM ids, grid
+WHERE media_id % 5 IN (0, 1, 2)
+GROUP BY media_id
+UNION ALL
+-- ids % 5 = 3: palette images — index (x + y*32 + id) % 256 into
+-- pal[i] = ((i*5)%256, (i*7)%256, (i*11)%256)
+SELECT media_id, 'png' AS fmt,
+       CAST(sum(((x + y * 32 + media_id) % 256) * 5 % 256) AS BIGINT)  AS r_sum,
+       CAST(sum(((x + y * 32 + media_id) % 256) * 7 % 256) AS BIGINT)  AS g_sum,
+       CAST(sum(((x + y * 32 + media_id) % 256) * 11 % 256) AS BIGINT) AS b_sum
+FROM ids, grid
+WHERE media_id % 5 = 3
+GROUP BY media_id
+UNION ALL
+-- ids % 5 = 4: grey+alpha — grey replicated to RGB, alpha dropped
+SELECT media_id, 'png' AS fmt,
+       CAST(sum((x * 3 + y * 5 + media_id) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((x * 3 + y * 5 + media_id) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((x * 3 + y * 5 + media_id) % 256) AS BIGINT) AS b_sum
+FROM ids, grid
+WHERE media_id % 5 = 4
 GROUP BY media_id
 """
 

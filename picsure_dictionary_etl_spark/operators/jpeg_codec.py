@@ -1,12 +1,16 @@
-"""Pure-numpy baseline JPEG (JFIF / ITU T.81) codec.
+"""Pure-numpy JPEG (JFIF / ITU T.81) codec.
 
 The container has no imaging libraries, so real JPEG coverage is built
-from the public spec: a baseline **sequential** decoder (8-bit, huffman
-entropy coding, 1- or 3-component, interleaved scans with ANY dividing
-sampling factors — 4:4:4, 4:2:2 and the ubiquitous 4:2:0 included) and
-a minimal writer used to mint deterministic certification payloads
-(4:4:4 or subsampled). Progressive scans (SOF2), arithmetic coding,
-12-bit precision and non-interleaved multi-scan files stay an honest
+from the public spec: an 8-bit huffman decoder covering baseline
+**sequential** (SOF0, interleaved scans with ANY dividing sampling
+factors — 4:4:4, 4:2:2 and the ubiquitous 4:2:0 included),
+**progressive** (SOF2: spectral selection + successive approximation,
+DC/AC first and refinement scans, EOB runs, per T.81 G.1.2) and
+**non-interleaved multi-scan baseline** files (same coefficient-buffer
+machinery as progressive), plus a minimal writer used to mint
+deterministic certification payloads (sequential, progressive or
+multi-scan; 4:4:4 or subsampled). Arithmetic coding, 12-bit precision,
+hierarchical (SOF5-7/13-15) and lossless modes stay an honest
 ``NotImplementedError`` seam — exactly like the PPM/WAV split in
 ``operators/multimodal.py``.
 
@@ -185,17 +189,22 @@ class _BitReader:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF payload to an (h, w, 3) uint8
-    array (grayscale replicated across channels). Raises ``ValueError``
-    on malformed data and ``NotImplementedError`` on legal-but-unsupported
-    variants (progressive, subsampled chroma, 12-bit)."""
+    """Decode a baseline sequential (SOF0, single- OR multi-scan) or
+    progressive (SOF2) JFIF payload to an (h, w, 3) uint8 array
+    (grayscale replicated across channels). Raises ``ValueError`` on
+    malformed data and ``NotImplementedError`` on
+    legal-but-unsupported variants (arithmetic coding, 12-bit,
+    hierarchical/lossless modes)."""
     if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
 
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, [(comp_id, tq)])
+    frame = None  # (h, w, [(comp_id, (hs, vs), tq)])
+    progressive = False
+    coefs = None  # per-comp (bh, bw, 64) int32, zigzag order (buffered path)
+    scans_done = 0
     dri = 0
     i = 2
     while i + 4 <= len(b):
@@ -204,9 +213,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         while i + 1 < len(b) and b[i + 1] == 0xFF:
             i += 1  # T.81 B.1.1.2: fill bytes before a marker
         if i + 4 > len(b):
+            if i + 2 <= len(b) and b[i + 1] == 0xD9 and scans_done:
+                break  # EOI at end of data
             raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before SOS: no image
+        if marker == 0xD9:  # EOI
+            if scans_done:
+                break  # multi-scan file complete: finalize below
             raise ValueError("EOI before scan data")
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         seg = b[i + 4 : i + 2 + seg_len]
@@ -222,12 +235,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
                     j += 128
                 qt[tid] = tbl.astype(np.int32)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) is supported, got {kind}"
+                f"only sequential (SOF0) and progressive (SOF2) huffman "
+                f"JPEG supported, got SOF{marker - 0xC0}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -267,21 +281,39 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG unsupported"
-                )
             scan_tables = {}
+            scan_cids = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                b, i + 2 + seg_len, frame, qt, huff_dc, huff_ac, scan_tables, dri
+                scan_cids.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if not progressive and ns == len(frame[2]) and scans_done == 0:
+                # fast path: single interleaved full-band baseline scan
+                return _decode_scan(
+                    b, i + 2 + seg_len, frame, qt, huff_dc, huff_ac,
+                    scan_tables, dri,
+                )
+            # buffered path: progressive scans or non-interleaved
+            # baseline multi-scan — accumulate coefficients
+            if ss > 0 and ns > 1:
+                raise ValueError("AC scans must be single-component")
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            i = _decode_scan_buffered(
+                b, i + 2 + seg_len, frame, huff_dc, huff_ac, scan_tables,
+                scan_cids, ss, se, ah, al, dri, coefs,
             )
+            scans_done += 1
+            continue
         # APPn / COM / others: skip
         i += 2 + seg_len
+    if scans_done:
+        return _finalize_coefs(frame, qt, coefs)
     raise ValueError("no scan (SOS) found")
 
 
@@ -341,7 +373,12 @@ def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri):
                         r0, c0 = (my * vs + vy) * 8, (mx * hs + vx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
-    # upsample subsampled components by replication, then crop
+    return _planes_to_rgb(planes, h, w, comps, hmax, vmax)
+
+
+def _planes_to_rgb(planes, h, w, comps, hmax, vmax):
+    """Shared decode tail: upsample subsampled components by
+    replication, crop to the frame dims, YCbCr->RGB (T.871)."""
     full = []
     for ci, (cid, (hs, vs), tq) in enumerate(comps):
         p = planes[ci]
@@ -359,6 +396,209 @@ def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri):
     return np.stack(
         [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, bl)], axis=-1
     )
+
+
+# ---------------------------------------------------------------------------
+# buffered (multi-scan / progressive) decode path — T.81 G.1.2
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(hs for _, (hs, _), _ in comps)
+    vmax = max(vs for _, (_, vs), _ in comps)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    return hmax, vmax, mcw, mch
+
+
+def _comp_blocks(frame, ci):
+    """Block grid of one component in a NON-interleaved scan: based on
+    the component's own (scaled, ceil'd) dimensions, not MCU padding
+    (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    _, (hs, vs), _ = comps[ci]
+    cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+    return -(-cw // 8), -(-ch // 8)  # (bw, bh)
+
+
+def _alloc_coefs(frame):
+    """MCU-padded per-component coefficient buffers, zigzag order."""
+    _, _, mcw, mch = _frame_geometry(frame)
+    return [
+        np.zeros((mch * vs, mcw * hs, 64), dtype=np.int32)
+        for _, (hs, vs), _ in frame[2]
+    ]
+
+
+def _decode_band(reader, view, ss, se, ah, al, dc_tbl, ac_tbl, pred, ci, eobrun):
+    """Decode one data unit's contribution for one scan band into the
+    zigzag-order coefficient ``view``. Handles DC first/refine, AC
+    first/refine (successive approximation, EOB runs) and the
+    baseline-style full band (ss=0, se=63, ah=al=0) used by
+    non-interleaved sequential scans. Returns the updated EOB run."""
+    if ss == 0:
+        if ah == 0:  # DC first: prediction in the point-transformed domain
+            if dc_tbl is None:
+                raise ValueError("scan references an undefined DC huffman table")
+            s = reader.huff(dc_tbl)
+            diff = _extend(reader.bits(s), s) if s else 0
+            pred[ci] += diff
+            view[0] = pred[ci] << al
+        else:  # DC refinement: one bit appends at position al
+            if reader.bits(1):
+                view[0] = int(view[0]) | (1 << al)
+        if se == 0:
+            return eobrun
+        # baseline full-band scan: fall through to the AC coefficients
+    if ac_tbl is None:
+        raise ValueError("scan references an undefined AC huffman table")
+    if ah == 0:  # AC first scan (or baseline ACs when al == 0)
+        if eobrun > 0:
+            return eobrun - 1
+        k = max(ss, 1)
+        while k <= se:
+            sym = reader.huff(ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: run of 2^r (+ appended bits) blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index out of range")
+            view[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        return eobrun
+    # AC refinement scan (T.81 G.1.2.3): correction bits on history
+    # coefficients, ±1<<al on newly-significant ones
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.huff(ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                newval = p1 if reader.bits(1) else m1
+            while k <= se:
+                v = int(view[k])
+                if v != 0:
+                    if reader.bits(1) and (v & p1) == 0:
+                        view[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                view[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction-bit sweep over the EOB-run tail
+            v = int(view[k])
+            if v != 0:
+                if reader.bits(1) and (v & p1) == 0:
+                    view[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_buffered(
+    b, pos, frame, huff_dc, huff_ac, scan_tables, scan_cids,
+    ss, se, ah, al, dri, coefs,
+):
+    """Decode one scan of a multi-scan (progressive or non-interleaved
+    baseline) file into the coefficient buffers; returns the offset of
+    the next marker after the entropy-coded data."""
+    h, w, comps = frame
+    cid_to_ci = {cid: ci for ci, (cid, _, _) in enumerate(comps)}
+    reader = _BitReader(b, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    if len(scan_cids) > 1:  # interleaved (DC or baseline full-band) scan
+        hmax, vmax, mcw, mch = _frame_geometry(frame)
+        mcu = 0
+        for my in range(mch):
+            for mx in range(mcw):
+                if dri and mcu and mcu % dri == 0:
+                    reader.restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                for cid in scan_cids:
+                    ci = cid_to_ci[cid]
+                    _, (hs, vs), _ = comps[ci]
+                    td, ta = scan_tables[cid]
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            eobrun = _decode_band(
+                                reader,
+                                coefs[ci][my * vs + vy, mx * hs + vx],
+                                ss, se, ah, al,
+                                huff_dc.get(td), huff_ac.get(ta),
+                                pred, ci, eobrun,
+                            )
+                mcu += 1
+    else:  # single-component scan: the component's own block raster
+        cid = scan_cids[0]
+        ci = cid_to_ci[cid]
+        td, ta = scan_tables[cid]
+        bw, bh = _comp_blocks(frame, ci)
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and n and n % dri == 0:
+                    reader.restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                eobrun = _decode_band(
+                    reader, coefs[ci][by, bx], ss, se, ah, al,
+                    huff_dc.get(td), huff_ac.get(ta), pred, ci, eobrun,
+                )
+                n += 1
+    # skip pad bits / trailing RSTs to the next real marker
+    j = reader.i
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] != 0x00 and not (0xD0 <= b[j + 1] <= 0xD7):
+            return j
+        j += 1
+    return j
+
+
+def _finalize_coefs(frame, qt, coefs):
+    """Dequantize + inverse-zigzag + IDCT every buffered block
+    (vectorized over blocks), then upsample/crop/color-convert."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, (cid, (hs, vs), tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        deq = coefs[ci].astype(np.float64) * qt[tq]
+        nat = np.empty_like(deq)
+        nat[:, :, ZIGZAG] = deq  # inverse zigzag
+        bh, bw = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ij,mnjk,kl->mnil", _T.T, blocks, _T)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(
+            np.clip(np.round(plane + 128.0), 0, 255).astype(np.int32)
+        )
+    return _planes_to_rgb(planes, h, w, comps, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -393,16 +633,12 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
-    """Write a baseline sequential JFIF from 1 (grayscale) or 3 (YCbCr)
-    uint8 planes of identical full-resolution shape. ``sampling=(H,V)``
-    sets the LUMA sampling factors — chroma planes are box-average
-    downsampled by (H,V) and declared 1x1, so ``(2,2)`` emits 4:2:0,
-    ``(2,1)`` 4:2:2, and the default ``(1,1)`` 4:4:4. All components
-    share the Annex K luminance huffman tables and one quantization
-    table (default all-ones — lossless for integer-DCT inputs such as
-    constant blocks; with MCU-constant chroma the subsampled pipeline
-    is lossless too, the certification contract)."""
+def _compute_coefs(planes, qtable, sampling):
+    """Shared writer front half: validate, pad to MCU multiples,
+    box-average-downsample chroma, forward-DCT + quantize + zigzag
+    every block (vectorized). Returns
+    (h, w, n, hs, vs, q, coefs, factors, mcw, mch) with ``coefs[ci]``
+    an (bh, bw, 64) int64 zigzag-order array."""
     planes = [np.asarray(p, dtype=np.uint8) for p in planes]
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 planes required")
@@ -419,34 +655,9 @@ def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
         if qtable is None
         else np.asarray(qtable, dtype=np.int32).reshape(64)
     )
-    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof += bytes([len(planes)])
-    for ci in range(len(planes)):
-        hv = (hs << 4) | vs if ci == 0 else 0x11
-        sof += bytes([ci + 1, hv, 0])
-    out += _seg(0xC0, sof)
-    out += _seg(
-        0xC4,
-        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
-        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
-    )
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-
     mcw, mch = -(-w // (8 * hs)), -(-h // (8 * vs))
     ph, pw = mch * vs * 8, mcw * hs * 8  # full-res padded dims
-    padded = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
     # chroma: box-average downsample by (vs, hs) -> (mch*8, mcw*8)
     comp_planes = [padded[0]]
     for p in padded[1:]:
@@ -456,25 +667,249 @@ def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
             sub = p.astype(np.float64).reshape(
                 ph // vs, vs, pw // hs, hs
             ).mean(axis=(1, 3))
-            comp_planes.append(
-                np.clip(np.round(sub), 0, 255).astype(np.uint8)
-            )
+            comp_planes.append(np.clip(np.round(sub), 0, 255).astype(np.uint8))
     factors = [(hs, vs)] + [(1, 1)] * (len(planes) - 1)
+    coefs = []
+    for ci, p in enumerate(comp_planes):
+        fh, fv = factors[ci]
+        bh, bw = mch * fv, mcw * fh
+        blocks = (
+            p.astype(np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            - 128.0
+        )
+        f = np.einsum("ij,mnjk,kl->mnil", _T, blocks, _T.T)
+        zz = np.round(f.reshape(bh, bw, 64)[:, :, ZIGZAG] / q).astype(np.int64)
+        coefs.append(zz)
+    return h, w, len(planes), hs, vs, q, coefs, factors, mcw, mch
+
+
+def _headers(sof_marker, h, w, n, hs, vs, q):
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([n])
+    for ci in range(n):
+        hv = (hs << 4) | vs if ci == 0 else 0x11
+        sof += bytes([ci + 1, hv, 0])
+    out += _seg(sof_marker, sof)
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
+    )
+    return out
+
+
+def _sos(comp_ids, ss, se, ah, al):
+    sos = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        sos += bytes([cid, 0x00])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, sos)
+
+
+def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
+    """Write a baseline sequential JFIF from 1 (grayscale) or 3 (YCbCr)
+    uint8 planes of identical full-resolution shape. ``sampling=(H,V)``
+    sets the LUMA sampling factors — chroma planes are box-average
+    downsampled by (H,V) and declared 1x1, so ``(2,2)`` emits 4:2:0,
+    ``(2,1)`` 4:2:2, and the default ``(1,1)`` 4:4:4. All components
+    share the Annex K luminance huffman tables and one quantization
+    table (default all-ones — lossless for integer-DCT inputs such as
+    constant blocks; with MCU-constant chroma the subsampled pipeline
+    is lossless too, the certification contract)."""
+    h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
+        planes, qtable, sampling
+    )
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    out = _headers(0xC0, h, w, n, hs, vs, q)
+    out += _sos(list(range(1, n + 1)), 0, 63, 0, 0)
     wtr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * n
     for my in range(mch):
         for mx in range(mcw):
-            for ci, p in enumerate(comp_planes):
+            for ci in range(n):
                 fh, fv = factors[ci]
                 for vy in range(fv):
                     for vx in range(fh):
-                        r0, c0 = (my * fv + vy) * 8, (mx * fh + vx) * 8
-                        blk = p[r0 : r0 + 8, c0 : c0 + 8].astype(np.float64)
-                        f = _T @ (blk - 128.0) @ _T.T
-                        zz = np.round(f.reshape(64)[ZIGZAG] / q).astype(np.int64)
-                        _encode_block(wtr, zz, pred, ci, dc_codes, ac_codes)
+                        _encode_block(
+                            wtr, coefs[ci][my * fv + vy, mx * fh + vx],
+                            pred, ci, dc_codes, ac_codes,
+                        )
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _writer_comp_blocks(w, h, hs, vs, factors, ci):
+    """Non-interleaved scan block grid for the writer — mirrors the
+    decoder's ``_comp_blocks`` rule (component's own dims, T.81 A.2.2)."""
+    fh, fv = factors[ci]
+    cw, ch = -(-w * fh // hs), -(-h * fv // vs)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _emit_ac_first(wtr, zz, ss, se, al, ac_codes):
+    """One block of a first AC scan (Ah=0): point transform (truncate
+    toward zero), run-length code, EOB run of exactly 1 per block
+    (legal; the Annex K tables carry no EOBn>0 symbols)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if v < 0:
+            t = -t
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        s = abs(t).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        wtr.put(code, ln)
+
+
+def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes):
+    """One block of an AC refinement scan: ±1 symbols for coefficients
+    that become visible at bit ``al``, buffered correction bits for
+    already-significant ones (T.81 G.1.2.3 / the libjpeg encoder's
+    structure, EOB runs flushed per block)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob = idx
+    run, br = 0, []
+    for idx, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and idx <= eob:
+            code, ln = ac_codes[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+            for bit in br:
+                wtr.put(bit, 1)
+            br = []
+        if t > 1:  # history coefficient: one correction bit
+            br.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]  # newly significant
+        wtr.put(code, ln)
+        wtr.put(1 if int(zz[ss + idx]) > 0 else 0, 1)
+        run = 0
+        for bit in br:
+            wtr.put(bit, 1)
+        br = []
+    if run or br:
+        code, ln = ac_codes[0x00]  # EOB run of 1
+        wtr.put(code, ln)
+        for bit in br:
+            wtr.put(bit, 1)
+
+
+def _put_dc_first(wtr, v, pred, ci, dc_codes):
+    diff = v - pred[ci]
+    pred[ci] = v
+    s = int(diff).bit_length() if diff else 0
+    code, ln = dc_codes[s]
+    wtr.put(code, ln)
+    if s:
+        wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def encode_jpeg_progressive(planes, qtable=None, sampling=None) -> bytes:
+    """Write a progressive (SOF2) JFIF exercising BOTH progression
+    axes: spectral selection (DC and AC in separate scans) and
+    successive approximation (first scans at Al=1, refinement scans
+    restoring bit 0). Scan script: interleaved DC first (Al=1);
+    per-component AC 1-63 first (Al=1); interleaved DC refinement;
+    per-component AC 1-63 refinement. Same planes/sampling/quant
+    contract as :func:`encode_jpeg` — for constant 8x8 blocks with the
+    all-ones table the decode is still BIT-exact (DC = (dc>>1)<<1 | bit,
+    ACs stay zero), keeping the integer-oracle certification trick."""
+    h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
+        planes, qtable, sampling
+    )
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    out = _headers(0xC2, h, w, n, hs, vs, q)
+    comp_ids = list(range(1, n + 1))
+
+    def mcu_blocks():
+        for my in range(mch):
+            for mx in range(mcw):
+                for ci in range(n):
+                    fh, fv = factors[ci]
+                    for vy in range(fv):
+                        for vx in range(fh):
+                            yield ci, coefs[ci][my * fv + vy, mx * fh + vx]
+
+    # scan 1: DC first, interleaved, Al=1 (values arithmetic-shifted)
+    out += _sos(comp_ids, 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * n
+    for ci, zz in mcu_blocks():
+        _put_dc_first(wtr, int(zz[0]) >> 1, pred, ci, dc_codes)
+    out += wtr.flush()
+    # scans 2..n+1: per-component AC first, band 1-63, Al=1
+    for ci in range(n):
+        bw, bh = _writer_comp_blocks(w, h, hs, vs, factors, ci)
+        out += _sos([ci + 1], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                _emit_ac_first(wtr, coefs[ci][by, bx], 1, 63, 1, ac_codes)
+        out += wtr.flush()
+    # DC refinement: one raw bit per block, interleaved
+    out += _sos(comp_ids, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for ci, zz in mcu_blocks():
+        wtr.put(int(zz[0]) & 1, 1)
+    out += wtr.flush()
+    # per-component AC refinement, band 1-63, Ah=1 -> Al=0
+    for ci in range(n):
+        bw, bh = _writer_comp_blocks(w, h, hs, vs, factors, ci)
+        out += _sos([ci + 1], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                _emit_ac_refine(wtr, coefs[ci][by, bx], 1, 63, 0, ac_codes)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(planes, qtable=None, sampling=None) -> bytes:
+    """Write a NON-interleaved baseline sequential (SOF0) file: one
+    full-band (Ss=0, Se=63) scan per component — the multi-scan layout
+    T.81 allows and single-pass decoders reject; decoded through the
+    same coefficient-buffer path as progressive."""
+    h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
+        planes, qtable, sampling
+    )
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    out = _headers(0xC0, h, w, n, hs, vs, q)
+    for ci in range(n):
+        bw, bh = _writer_comp_blocks(w, h, hs, vs, factors, ci)
+        out += _sos([ci + 1], 0, 63, 0, 0)
+        wtr = _BitWriter()
+        pred = [0] * n  # DC prediction resets per scan
+        for by in range(bh):
+            for bx in range(bw):
+                _encode_block(wtr, coefs[ci][by, bx], pred, ci, dc_codes, ac_codes)
+        out += wtr.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 

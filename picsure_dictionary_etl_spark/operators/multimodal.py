@@ -3,18 +3,21 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode is REAL where the container's toolchain allows it — P6 PPM
 images (pure numpy parse, box-average resize, re-encode), PCM WAV
-audio (stdlib ``wave`` + numpy) and baseline sequential JPEG (the
-from-scratch pure-numpy codec in :mod:`~.jpeg_codec`: huffman entropy
-decode, dequant, zigzag, IDCT, YCbCr->RGB) — see :func:`decode_media`
-/ :func:`resize_ppm_images` / :func:`image_channel_sums`, plus
-baseline PNG (the pure-stdlib codec in :mod:`~.png_codec`: zlib
-inflate + all five unfilters) — with deterministic synthetic
-generators for tests. Codecs that genuinely need external libraries
-(progressive/subsampled JPEG, Adam7/palette/16-bit PNG, MP4 frame
-extraction) remain honestly stubbed: ``_fake_decode`` produces a
-deterministic byte-statistics vector so the Spark-side plumbing —
-schema, batch shape, partitioning — stays fully testable, and
-production swaps in PIL/ffmpeg at the same seam.
+audio (stdlib ``wave`` + numpy), huffman JPEG — sequential AND
+progressive (SOF2), interleaved and multi-scan, with 4:2:0/4:2:2
+chroma subsampling (the from-scratch pure-numpy codec in
+:mod:`~.jpeg_codec`: entropy decode, successive approximation,
+dequant, zigzag, IDCT, chroma upsample, YCbCr->RGB) — and
+full-coverage PNG (the pure-stdlib codec in :mod:`~.png_codec`: zlib
+inflate, all five unfilters, Adam7 interlace, palette/grey-alpha/RGBA
+color types, 1-16 bit depths) — see :func:`decode_media` /
+:func:`resize_ppm_images` / :func:`image_channel_sums`, with
+deterministic synthetic generators for tests. Codecs that genuinely
+need external libraries (arithmetic-coded/12-bit/hierarchical JPEG,
+MP4 frame extraction) remain honestly stubbed: ``_fake_decode``
+produces a deterministic byte-statistics vector so the Spark-side
+plumbing — schema, batch shape, partitioning — stays fully testable,
+and production swaps in PIL/ffmpeg at the same seam.
 """
 
 from __future__ import annotations
@@ -200,14 +203,16 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
     """Stub seam for codecs the container can't decode (MP4,
-    progressive/subsampled JPEG, Adam7/palette/16-bit PNG). PPM images,
-    baseline JPEG, baseline 8-bit truecolor PNG and PCM WAV audio
-    decode for real — see :func:`decode_media` /
-    :func:`resize_ppm_images` / :func:`image_channel_sums`."""
+    arithmetic-coded/12-bit/hierarchical JPEG). PPM images, huffman
+    JPEG (sequential + progressive, incl. 4:2:0/4:2:2 subsampling and
+    multi-scan), PNG (all color types, depths and both interlace
+    methods) and PCM WAV audio decode for real — see
+    :func:`decode_media` / :func:`resize_ppm_images` /
+    :func:`image_channel_sums`."""
     raise NotImplementedError(
-        "MP4 (and progressive JPEG / Adam7-PNG) codecs are not available "
-        "in this environment; PPM, baseline-JPEG, baseline-PNG and WAV "
-        "payloads decode for real via decode_media()/image_channel_sums()"
+        "MP4 (and arithmetic-coded / 12-bit JPEG) codecs are not "
+        "available in this environment; PPM, JPEG, PNG and WAV payloads "
+        "decode for real via decode_media()/image_channel_sums()"
     )
 
 
@@ -513,24 +518,65 @@ def image_channel_sums(media: DataFrame) -> DataFrame:
 
 
 def synthetic_png_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
-    """Deterministic REAL PNG payloads (per-id RGB gradient, a pure
-    integer function of media_id). PNG is lossless, so — unlike the
-    JPEG constant-block trick — ANY pattern certifies exactly."""
+    """Deterministic REAL PNG payloads, every pixel a pure integer
+    function of media_id. PNG is lossless, so — unlike the JPEG
+    constant-block trick — ANY pattern certifies exactly; id % 5 picks
+    the format variant so ONE driver query exercises every decode path:
+
+    - ``0``: 8-bit truecolor, non-interlaced (RGB gradient)
+    - ``1``: 8-bit truecolor, **Adam7 interlaced** (same gradient —
+      interlace only reorders scanlines, so the sums match variant 0)
+    - ``2``: **16-bit** truecolor, samples ``gradient * 257`` (the
+      high-byte reduction inverts ``*257`` exactly)
+    - ``3``: **palette** (color type 3): index ``(x + y*w + id) % 256``
+      into the palette ``pal[i] = ((i*5)%256, (i*7)%256, (i*11)%256)``
+    - ``4``: 8-bit **grey+alpha** (color type 4): grey
+      ``(x*3 + y*5 + id) % 256`` replicated to RGB, alpha dropped
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from picsure_dictionary_etl_spark.operators.png_codec import encode_png
+        from picsure_dictionary_etl_spark.operators.png_codec import (
+            encode_png,
+            encode_png16,
+            encode_png_grey_alpha,
+            encode_png_palette,
+        )
 
+        pal = np.stack(
+            [
+                (np.arange(256) * 5) % 256,
+                (np.arange(256) * 7) % 256,
+                (np.arange(256) * 11) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
         for pdf in batches:
             rows = []
             yy, xx = np.mgrid[0:height, 0:width]
             for mid in pdf["id"]:
-                r = (xx * 5 + mid) % 256
-                g = (yy * 7 + mid * 5) % 256
-                bl = (xx * 2 + yy * 3 + mid * 11) % 256
-                arr = np.stack([r, g, bl], axis=-1).astype(np.uint8)
-                rows.append((int(mid), "image", encode_png(arr), width, height, None))
+                mid = int(mid)
+                variant = mid % 5
+                if variant in (0, 1, 2):
+                    r = (xx * 5 + mid) % 256
+                    g = (yy * 7 + mid * 5) % 256
+                    bl = (xx * 2 + yy * 3 + mid * 11) % 256
+                    arr = np.stack([r, g, bl], axis=-1)
+                    if variant == 2:
+                        payload = encode_png16((arr * 257).astype(np.uint16))
+                    else:
+                        payload = encode_png(
+                            arr.astype(np.uint8), interlace=(variant == 1)
+                        )
+                elif variant == 3:
+                    idx = ((xx + yy * width + mid) % 256).astype(np.uint8)
+                    payload = encode_png_palette(idx, pal)
+                else:
+                    grey = ((xx * 3 + yy * 5 + mid) % 256).astype(np.uint8)
+                    alpha = ((xx + mid) % 256).astype(np.uint8)
+                    payload = encode_png_grey_alpha(grey, alpha)
+                rows.append((mid, "image", payload, width, height, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])
 
@@ -550,14 +596,22 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
     image-constant chroma — a constant chroma plane survives the
     box-average downsample + replication upsample bit-exactly, so the
     color conversion stays an exact integer-in/float-round function the
-    oracle can replay."""
+    oracle can replay. On top of that split, ids ≡ 2, 5, 6, 7 (mod 8)
+    emit the SAME pixels as **progressive (SOF2)** streams — spectral
+    selection + successive approximation scans, still bit-exact for
+    constant blocks (DC = (dc>>1)<<1 | refine-bit, ACs zero) — so the
+    oracle formulas are untouched while the query certifies the whole
+    multi-scan decode path."""
     if width % 8 or height % 8:
         raise ValueError("certification payloads need multiple-of-8 dims")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from picsure_dictionary_etl_spark.operators.jpeg_codec import encode_jpeg
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         for pdf in batches:
             rows = []
@@ -565,15 +619,18 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
             for mid in pdf["id"]:
                 v = (int(mid) * 11 + bx_ * 7 + by_ * 13) % 256
                 y = np.kron(v, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+                # ids ≡ 2,5,6,7 (mod 8): same pixels, progressive stream
+                enc = encode_jpeg_progressive if int(mid) % 8 in (2, 5, 6, 7) \
+                    else encode_jpeg
                 if int(mid) % 2 == 0:
-                    payload = encode_jpeg([y])
+                    payload = enc([y])
                 elif int(mid) % 4 == 3:  # 4:2:0, constant non-neutral chroma
                     cb = np.full_like(y, (int(mid) * 17 + 40) % 256)
                     cr = np.full_like(y, (int(mid) * 29 + 60) % 256)
-                    payload = encode_jpeg([y, cb, cr], sampling=(2, 2))
+                    payload = enc([y, cb, cr], sampling=(2, 2))
                 else:
                     neutral = np.full_like(y, 128)
-                    payload = encode_jpeg([y, neutral, neutral])
+                    payload = enc([y, neutral, neutral])
                 rows.append((int(mid), "image", payload, width, height, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])

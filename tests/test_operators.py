@@ -416,8 +416,12 @@ def test_jpeg_honest_seams_and_corrupt():
     from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
 
     sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC2, sof_payload))
+    # arithmetic-coded (SOF9) and lossless (SOF3) stay typed seams;
+    # progressive (SOF2) decodes for real since r6
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC9, sof_payload))
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC3, sof_payload))
     # non-DIVIDING sampling factors (3,2 luma vs 2,1 chroma) stay a
     # typed seam; plain 4:2:0/4:2:2 decode for real since r6
     weird = bytes([8, 0, 16, 0, 16, 3, 1, 0x32, 0, 2, 0x21, 1, 3, 0x11, 1])
@@ -480,6 +484,56 @@ def test_jpeg_subsampled_roundtrip_exact():
     assert np.abs(got[:, :, 0].astype(int) - y.astype(int)).max() <= 2
 
 
+def test_jpeg_progressive_and_multiscan():
+    """Round-6 seam closures: progressive (SOF2) decode — spectral
+    selection + successive approximation (DC/AC first + refinement
+    scans, EOB runs) — and non-interleaved multi-scan baseline, both
+    through the coefficient-buffer path. The strongest check is
+    equality with the sequential decode on ARBITRARY content: both
+    writers quantize identical coefficients, so the decoded pixels
+    must match bit-for-bit even though the codec is lossy vs the
+    original."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(7)
+
+    # constant blocks + all-ones quant: progressive round trip is
+    # BIT-exact vs the ORIGINAL (the certification contract)
+    blocks = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    y = np.kron(blocks, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+    assert (jc.decode_jpeg(jc.encode_jpeg_progressive([y])) == y[:, :, None]).all()
+    neutral = np.full_like(y, 128)
+    assert (jc.decode_jpeg(jc.encode_jpeg_progressive([y, neutral, neutral]))
+            == y[:, :, None]).all()
+    cb, cr = np.full_like(y, 91), np.full_like(y, 147)
+    seq = jc.decode_jpeg(jc.encode_jpeg([y, cb, cr], sampling=(2, 2)))
+    prog = jc.decode_jpeg(jc.encode_jpeg_progressive([y, cb, cr], sampling=(2, 2)))
+    assert (seq == prog).all()
+
+    # arbitrary content: progressive == sequential == multiscan decode,
+    # across 4:4:4 / 4:2:0 / 4:2:2 and ragged (non-MCU-multiple) dims,
+    # gray and color, and a real (lossy) quant table
+    for shape, samp in [((24, 32), (1, 1)), ((24, 32), (2, 2)),
+                        ((16, 16), (2, 1)), ((17, 25), (2, 2))]:
+        ps = [rng.integers(0, 256, size=shape, dtype=np.uint8) for _ in range(3)]
+        a = jc.decode_jpeg(jc.encode_jpeg(ps, sampling=samp))
+        assert (a == jc.decode_jpeg(
+            jc.encode_jpeg_progressive(ps, sampling=samp))).all(), (shape, samp)
+        assert (a == jc.decode_jpeg(
+            jc.encode_jpeg_multiscan(ps, sampling=samp))).all(), (shape, samp)
+    g = rng.integers(0, 256, size=(40, 41), dtype=np.uint8)
+    assert (jc.decode_jpeg(jc.encode_jpeg([g]))
+            == jc.decode_jpeg(jc.encode_jpeg_progressive([g]))).all()
+    assert (jc.decode_jpeg(jc.encode_jpeg([g]))
+            == jc.decode_jpeg(jc.encode_jpeg_multiscan([g]))).all()
+    qt = np.array([max(1, (i % 16) + 1) for i in range(64)])
+    ps = [rng.integers(0, 256, size=(24, 24), dtype=np.uint8) for _ in range(3)]
+    assert (jc.decode_jpeg(jc.encode_jpeg(ps, qtable=qt))
+            == jc.decode_jpeg(jc.encode_jpeg_progressive(ps, qtable=qt))).all()
+
+
 def test_png_codec_roundtrip_and_filters():
     """Pure stdlib+numpy PNG: lossless roundtrip for RGB and grey, and
     a HAND-FILTERED stream exercising all five scanline filter types
@@ -536,11 +590,15 @@ def test_png_codec_roundtrip_and_filters():
     hand += chunk(b"IEND", b"")
     assert (pc.decode_png(bytes(hand)) == img).all()
 
-    # honest seams
+    # error contract on illegal header values
     bad = bytearray(pc._SIG) + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError, match="Adam7"):
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
+    with pytest.raises(ValueError, match="interlace"):
         pc.decode_png(bytes(bad))
+    bad = bytearray(pc._SIG) + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="bit depth"):
+        pc.decode_png(bytes(bad))  # depth 4 illegal for truecolor
     with pytest.raises(ValueError):
         pc.decode_png(b"junk")
     # error contract: malformed internals are ValueError, never the raw
@@ -553,6 +611,81 @@ def test_png_codec_roundtrip_and_filters():
             + chunk(b"IEND", b"")))
     with pytest.raises(ValueError, match="IHDR"):
         pc.decode_png(bytes(bytearray(pc._SIG) + chunk(b"IHDR", b"\x00\x01")))
+
+
+def test_png_codec_variants_palette_16bit_adam7_grey_alpha():
+    """Round-6 seam closures: palette (all four legal depths), 16-bit
+    (high-byte reduction exact on *257 samples), Adam7 interlace
+    (decodes identically to the non-interlaced emit of the same
+    pixels), grey+alpha (alpha dropped), and sub-byte greyscale
+    scaling — plus the new error contracts (missing PLTE, palette
+    index out of range)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import png_codec as pc
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    # Adam7 == non-interlaced, RGB and grey, incl. dims < one pass tile
+    assert (pc.decode_png(pc.encode_png(arr, interlace=True)) == arr).all()
+    tiny = arr[:3, :2]
+    assert (pc.decode_png(pc.encode_png(tiny, interlace=True)) == tiny).all()
+    g = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    assert (pc.decode_png(pc.encode_png(g, interlace=True)) == g[:, :, None]).all()
+
+    # 16-bit: s*257 high-byte-reduces back to s exactly (RGB + grey,
+    # both interlace methods)
+    s = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint16)
+    assert (pc.decode_png(pc.encode_png16(s * 257)) == s).all()
+    assert (pc.decode_png(pc.encode_png16(s * 257, interlace=True)) == s).all()
+    g16 = rng.integers(0, 256, size=(4, 7), dtype=np.uint16)
+    assert (pc.decode_png(pc.encode_png16(g16 * 257)) == g16[:, :, None]).all()
+
+    # palette at depths 8/4/2/1, plain and interlaced
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    for depth, maxv in [(8, 256), (4, 16), (2, 4), (1, 2)]:
+        idx = rng.integers(0, maxv, size=(10, 9), dtype=np.uint8)
+        for il in (False, True):
+            got = pc.decode_png(
+                pc.encode_png_palette(idx, pal[:maxv], depth=depth, interlace=il))
+            assert (got == pal[:maxv][idx]).all(), (depth, il)
+
+    # grey+alpha: grey replicated, alpha dropped
+    a = rng.integers(0, 256, size=g.shape, dtype=np.uint8)
+    assert (pc.decode_png(pc.encode_png_grey_alpha(g, a)) == g[:, :, None]).all()
+
+    # sub-byte greyscale scales by 255/(2^d - 1) (exact for 1/2/4)
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        v = rng.integers(0, 1 << depth, size=(6, 7), dtype=np.uint8)
+        raw = pc._emit(7, 6, depth, 0, v[:, :, None], False)
+        assert (pc.decode_png(raw)
+                == (v.astype(np.uint16) * scale).astype(np.uint8)[:, :, None]).all()
+
+    # error contracts
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    no_plte = (bytearray(pc._SIG)
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        pc.decode_png(bytes(no_plte))
+    oob = (bytearray(pc._SIG)
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", b"\x00\x01\x02")  # 1 entry, index 5 below
+           + chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        pc.decode_png(bytes(oob))
+    with pytest.raises(ValueError, match="out of range"):
+        pc.encode_png_palette(np.full((2, 2), 9, np.uint8),
+                              np.zeros((16, 3), np.uint8), depth=2)
 
 
 def test_simhash_fast_and_portable_paths_agree_on_duplicates(spark):
@@ -600,6 +733,7 @@ def test_codec_property_roundtrips():
         rng = np.random.default_rng(seed)
         arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (pc.decode_png(pc.encode_png(arr)) == arr).all()
+        assert (pc.decode_png(pc.encode_png(arr, interlace=True)) == arr).all()
 
     @given(
         st.integers(1, 3), st.integers(1, 3),
@@ -657,11 +791,30 @@ def test_image_channel_sums_mixed_formats(spark):
         g = int(((yy * 8 + mid * 3) % 256).sum())
         b = int(((xx + yy + mid * 7) % 256).sum())
         assert got[(mid, "ppm")] == (r, g, b)
-        j = int(64 * ((mid * 11 + bx_ * 7 + by_ * 13) % 256).sum())
-        assert got[(mid, "jpeg")] == (j, j, j)
-        r = int(((xx * 5 + mid) % 256).sum())
-        g = int(((yy * 7 + mid * 5) % 256).sum())
-        b = int(((xx * 2 + yy * 3 + mid * 11) % 256).sum())
+        yv = (mid * 11 + bx_ * 7 + by_ * 13) % 256
+        if mid % 4 == 3:
+            # 4:2:0 payload: constant non-neutral chroma, each block one
+            # constant RGB via the T.871 inverse (mirrors the oracle SQL)
+            cb, cr = (mid * 17 + 40) % 256 - 128, (mid * 29 + 60) % 256 - 128
+            jr = int(64 * np.clip(np.round(yv + 1.402 * cr), 0, 255).sum())
+            jg = int(64 * np.clip(
+                np.round(yv - 0.344136 * cb - 0.714136 * cr), 0, 255).sum())
+            jb = int(64 * np.clip(np.round(yv + 1.772 * cb), 0, 255).sum())
+            assert got[(mid, "jpeg")] == (jr, jg, jb)
+        else:
+            j = int(64 * yv.sum())
+            assert got[(mid, "jpeg")] == (j, j, j)
+        # PNG variants by id % 5: 0 plain / 1 Adam7 / 2 16-bit share the
+        # gradient sums; 3 is palette; 4 grey+alpha (n=4 covers 0..3)
+        if mid % 5 in (0, 1, 2):
+            r = int(((xx * 5 + mid) % 256).sum())
+            g = int(((yy * 7 + mid * 5) % 256).sum())
+            b = int(((xx * 2 + yy * 3 + mid * 11) % 256).sum())
+        elif mid % 5 == 3:
+            idx = (xx + yy * 32 + mid) % 256
+            r, g, b = (int((idx * k % 256).sum()) for k in (5, 7, 11))
+        else:
+            r = g = b = int(((xx * 3 + yy * 5 + mid) % 256).sum())
         assert got[(mid, "png")] == (r, g, b)
 
 
