@@ -1,0 +1,681 @@
+"""From-scratch ISO BMFF (MP4/QuickTime) demuxer + writer — pure
+stdlib ``struct`` + numpy, no media library.
+
+This closes the last multimodal container seam (``decode_real`` listed
+MP4 as a stub since round 3).  The design mirrors the JPEG/PNG/WAV
+certifications: a spec-driven writer produces deterministic payloads
+whose decoded content is a pure integer function of the generator
+inputs, and the demuxer is additionally pinned in tests against a
+HAND-BUILT byte blob (explicit struct.pack with literal offsets,
+independent of the writer) so writer↔parser round trips can't be
+self-consistently wrong.
+
+Built from public specs only:
+
+- ISO/IEC 14496-12 (box structure; ``stts``/``stsc``/``stsz``/
+  ``stco``/``co64`` sample tables; ``mvhd``/``tkhd``/``mdhd`` v0/v1).
+- QuickTime File Format spec: the ``'raw '`` uncompressed 24-bit RGB
+  video sample entry and the ``'twos'``/``'sowt'`` big/little-endian
+  PCM audio sample entries.
+
+Scope (honest seams, typed errors):
+
+- DEMUX works for any sane progressive MP4 — sample-entry codec is
+  opaque to the sample-table math, so byte-range extraction works for
+  avc1/hev1/… too.  Pixel DECODE is only real for ``'raw '`` video and
+  ``'twos'``/``'sowt'`` PCM audio (no entropy-coded codecs in this
+  container, same rule as the JPEG/PNG split).
+- Fragmented MP4 (``moof``/``trun``) and edit lists (``elst``) raise
+  ``NotImplementedError``; ``ctts`` (B-frame reordering) is absent for
+  raw video by construction and rejected if present.
+
+Scale notes: sample-table expansion (stts/stsc run-length → per-sample
+offset/size/dts arrays) is fully vectorized numpy — a multi-million
+sample table costs a handful of array ops, never a Python loop.  The
+Spark surface in :mod:`~.multimodal` runs this inside ``mapInPandas``
+so each executor demuxes its own payload batch.
+
+Reference parity: the reference pipeline has no media decode at all
+(it ships opaque blobs; see reference README.md) — this module is part
+of the training-data-pipeline surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta"}
+
+_PCM_CODECS = (b"twos", b"sowt")  # big-endian / little-endian 16-bit PCM
+
+
+class Mp4Error(ValueError):
+    """Malformed or truncated MP4 payload."""
+
+
+# ---------------------------------------------------------------------------
+# box plumbing
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each box in [start, end).
+
+    Handles 64-bit ``largesize`` (size == 1) and to-end boxes
+    (size == 0) per ISO 14496-12 §4.2.
+    """
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise Mp4Error(f"truncated box header at offset {off}")
+        size, btype = struct.unpack_from(">I4s", data, off)
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise Mp4Error("truncated largesize header")
+            (size,) = struct.unpack_from(">Q", data, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise Mp4Error(f"box {btype!r} size {size} overruns container")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find(data: bytes, start: int, end: int, btype: bytes) -> Optional[Tuple[int, int]]:
+    for t, b, e in _iter_boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _full(data: bytes, off: int) -> Tuple[int, int]:
+    """(version, flags) of a FullBox body starting at off."""
+    (vf,) = struct.unpack_from(">I", data, off)
+    return vf >> 24, vf & 0xFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# parsed model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str            # 'vide' | 'soun' | other fourccs
+    codec: str              # sample-entry fourcc, e.g. 'raw ', 'sowt'
+    timescale: int
+    duration: int           # in track timescale units
+    width: int = 0          # video only
+    height: int = 0
+    depth: int = 0
+    channels: int = 0       # audio only
+    sample_bits: int = 0
+    sample_rate: int = 0
+    # per-sample arrays (vectorized expansion of the stbl tables)
+    offsets: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    sizes: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    dts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    durations: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.sizes.shape[0])
+
+    def duration_ms(self) -> int:
+        if not self.timescale:
+            return 0
+        return int(self.duration * 1000 // self.timescale)
+
+
+@dataclass
+class Mp4Info:
+    major_brand: str
+    timescale: int          # mvhd
+    duration: int           # mvhd units
+    tracks: List[Mp4Track]
+
+    def duration_ms(self) -> int:
+        if not self.timescale:
+            return 0
+        return int(self.duration * 1000 // self.timescale)
+
+    def video(self) -> Optional[Mp4Track]:
+        for t in self.tracks:
+            if t.handler == "vide":
+                return t
+        return None
+
+    def audio(self) -> Optional[Mp4Track]:
+        for t in self.tracks:
+            if t.handler == "soun":
+                return t
+        return None
+
+
+# ---------------------------------------------------------------------------
+# demuxer
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4(data: bytes) -> Mp4Info:
+    """Parse an unfragmented MP4/QuickTime file into track sample
+    tables.  Raises :class:`Mp4Error` on malformed input and
+    ``NotImplementedError`` on fragmented files / edit lists."""
+    if data is None or len(data) < 16:
+        raise Mp4Error("payload too short for an MP4")
+    major = b"????"
+    moov: Optional[Tuple[int, int]] = None
+    for t, b, e in _iter_boxes(data, 0, len(data)):
+        if t == b"ftyp":
+            major = data[b : b + 4]
+        elif t == b"moov":
+            moov = (b, e)
+        elif t in (b"moof", b"mvex"):
+            raise NotImplementedError(
+                "fragmented MP4 (moof/mvex) is not supported; demux the "
+                "progressive layout or defragment upstream"
+            )
+    if moov is None:
+        raise Mp4Error("no moov box")
+    ms, me = moov
+    mvhd = _find(data, ms, me, b"mvhd")
+    if mvhd is None:
+        raise Mp4Error("no mvhd box")
+    ver, _ = _full(data, mvhd[0])
+    if ver == 1:
+        # v1: creation(8) modification(8) precede timescale(4)/duration(8)
+        ts, dur = struct.unpack_from(">IQ", data, mvhd[0] + 4 + 16)
+    else:
+        _, _, ts, dur = struct.unpack_from(">IIII", data, mvhd[0] + 4)
+    tracks = []
+    for t, b, e in _iter_boxes(data, ms, me):
+        if t == b"trak":
+            tracks.append(_parse_trak(data, b, e))
+    return Mp4Info(major_brand=major.decode("latin1"), timescale=ts,
+                   duration=dur, tracks=tracks)
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
+    tkhd = _find(data, start, end, b"tkhd")
+    if tkhd is None:
+        raise Mp4Error("trak without tkhd")
+    ver, _ = _full(data, tkhd[0])
+    if ver == 1:
+        track_id = struct.unpack_from(">I", data, tkhd[0] + 4 + 16)[0]
+    else:
+        track_id = struct.unpack_from(">I", data, tkhd[0] + 4 + 8)[0]
+    if _find(data, start, end, b"edts") is not None:
+        raise NotImplementedError("edit lists (elst) are not supported")
+    mdia = _find(data, start, end, b"mdia")
+    if mdia is None:
+        raise Mp4Error("trak without mdia")
+    mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+    hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+    minf = _find(data, mdia[0], mdia[1], b"minf")
+    if mdhd is None or hdlr is None or minf is None:
+        raise Mp4Error("mdia missing mdhd/hdlr/minf")
+    ver, _ = _full(data, mdhd[0])
+    if ver == 1:
+        ts, dur = struct.unpack_from(">IQ", data, mdhd[0] + 4 + 16)
+    else:
+        _, _, ts, dur = struct.unpack_from(">IIII", data, mdhd[0] + 4)
+    handler = data[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1")
+    stbl = _find(data, minf[0], minf[1], b"stbl")
+    if stbl is None:
+        raise Mp4Error("minf without stbl")
+    return _parse_stbl(data, stbl[0], stbl[1], track_id, handler, ts, dur)
+
+
+def _parse_stbl(data: bytes, start: int, end: int, track_id: int,
+                handler: str, timescale: int, duration: int) -> Mp4Track:
+    boxes = {}
+    for t, b, e in _iter_boxes(data, start, end):
+        boxes[t] = (b, e)
+    if b"ctts" in boxes:
+        raise NotImplementedError("ctts (composition offsets) unsupported")
+    for req in (b"stsd", b"stts", b"stsc", b"stsz"):
+        if req not in boxes:
+            raise Mp4Error(f"stbl missing {req.decode('latin1')}")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise Mp4Error("stbl missing stco/co64")
+
+    tr = Mp4Track(track_id=track_id, handler=handler, codec="",
+                  timescale=timescale, duration=duration)
+    _parse_stsd(data, boxes[b"stsd"][0], handler, tr)
+
+    # ---- stts: run-length (count, delta) -> per-sample dts/duration
+    b0 = boxes[b"stts"][0]
+    (n_runs,) = struct.unpack_from(">I", data, b0 + 4)
+    stts = np.frombuffer(data, dtype=">u4", count=2 * n_runs, offset=b0 + 8)
+    counts = stts[0::2].astype(np.int64)
+    deltas = stts[1::2].astype(np.int64)
+    durations = np.repeat(deltas, counts)
+    dts = np.concatenate(([0], np.cumsum(durations)[:-1])) if durations.size else durations
+
+    # ---- stsz: uniform or per-sample sizes
+    b0 = boxes[b"stsz"][0]
+    uniform, n_samples = struct.unpack_from(">II", data, b0 + 4)
+    if uniform:
+        sizes = np.full(n_samples, uniform, dtype=np.int64)
+    else:
+        sizes = np.frombuffer(
+            data, dtype=">u4", count=n_samples, offset=b0 + 12
+        ).astype(np.int64)
+    if durations.shape[0] != n_samples:
+        raise Mp4Error(
+            f"stts covers {durations.shape[0]} samples but stsz declares {n_samples}"
+        )
+
+    # ---- chunk offsets
+    if b"stco" in boxes:
+        b0 = boxes[b"stco"][0]
+        (n_chunks,) = struct.unpack_from(">I", data, b0 + 4)
+        chunk_off = np.frombuffer(
+            data, dtype=">u4", count=n_chunks, offset=b0 + 8
+        ).astype(np.int64)
+    else:
+        b0 = boxes[b"co64"][0]
+        (n_chunks,) = struct.unpack_from(">I", data, b0 + 4)
+        chunk_off = np.frombuffer(
+            data, dtype=">u8", count=n_chunks, offset=b0 + 8
+        ).astype(np.int64)
+
+    # ---- stsc: (first_chunk, samples_per_chunk) runs -> per-sample chunk
+    b0 = boxes[b"stsc"][0]
+    (n_runs,) = struct.unpack_from(">I", data, b0 + 4)
+    stsc = np.frombuffer(data, dtype=">u4", count=3 * n_runs, offset=b0 + 8)
+    first_chunk = stsc[0::3].astype(np.int64)  # 1-based
+    spc_runs = stsc[1::3].astype(np.int64)
+    if n_runs:
+        if first_chunk[0] != 1 or np.any(np.diff(first_chunk) <= 0):
+            raise Mp4Error("stsc first_chunk runs not strictly increasing from 1")
+        run_len = np.diff(np.append(first_chunk, n_chunks + 1))
+        spc = np.repeat(spc_runs, run_len)          # samples per chunk, len n_chunks
+    else:
+        spc = np.empty(0, np.int64)
+    declared = int(spc.sum())
+    if declared < n_samples:
+        raise Mp4Error(f"stsc maps only {declared} of {n_samples} samples to chunks")
+    chunk_idx = np.repeat(np.arange(n_chunks, dtype=np.int64), spc)[:n_samples]
+    # offset within chunk = running size sum since the chunk's first sample
+    csum = np.cumsum(sizes) - sizes                 # bytes before each sample
+    chunk_first = np.concatenate(([0], np.cumsum(spc)[:-1])) if n_chunks else spc
+    first_sample_of_chunk = np.minimum(chunk_first, max(n_samples - 1, 0))
+    base_csum = csum[first_sample_of_chunk][chunk_idx] if n_samples else csum
+    offsets = chunk_off[chunk_idx] + (csum - base_csum)
+
+    file_end = len(data)
+    if n_samples and int((offsets + sizes).max()) > file_end:
+        raise Mp4Error("sample byte range overruns the file")
+
+    tr.offsets, tr.sizes, tr.dts, tr.durations = offsets, sizes, dts, durations
+    return tr
+
+
+def _parse_stsd(data: bytes, body: int, handler: str, tr: Mp4Track) -> None:
+    (entry_count,) = struct.unpack_from(">I", data, body + 4)
+    if entry_count < 1:
+        raise Mp4Error("stsd with no entries")
+    entry = body + 8
+    size, fourcc = struct.unpack_from(">I4s", data, entry)
+    tr.codec = fourcc.decode("latin1")
+    # SampleEntry: 6 reserved bytes + data_reference_index
+    se = entry + 8 + 6 + 2
+    if handler == "vide":
+        # VisualSampleEntry: pre_defined(2) reserved(2) pre_defined(12)
+        # width(2) height(2) hres(4) vres(4) reserved(4) frame_count(2)
+        # compressorname(32) depth(2) pre_defined(2)
+        tr.width, tr.height = struct.unpack_from(">HH", data, se + 16)
+        (tr.depth,) = struct.unpack_from(">H", data, se + 16 + 4 + 4 + 4 + 4 + 2 + 32)
+    elif handler == "soun":
+        # AudioSampleEntry (v0): version(2) revision(2) vendor(4)
+        # channels(2) samplesize(2) compression_id(2) packet_size(2)
+        # samplerate(4, 16.16 fixed)
+        tr.channels, tr.sample_bits = struct.unpack_from(">HH", data, se + 8)
+        (rate_fx,) = struct.unpack_from(">I", data, se + 16)
+        tr.sample_rate = rate_fx >> 16
+
+
+# ---------------------------------------------------------------------------
+# sample extraction / real decode
+# ---------------------------------------------------------------------------
+
+
+def extract_samples(data: bytes, track: Mp4Track,
+                    indices: Optional[Sequence[int]] = None) -> List[bytes]:
+    """Byte-range demux: the raw sample payloads (codec-agnostic)."""
+    idx = range(track.n_samples) if indices is None else indices
+    out = []
+    for i in idx:
+        o, s = int(track.offsets[i]), int(track.sizes[i])
+        out.append(data[o : o + s])
+    return out
+
+
+def decode_raw_frames(data: bytes, track: Mp4Track,
+                      indices: Optional[Sequence[int]] = None) -> List[np.ndarray]:
+    """Decode ``'raw '`` uncompressed 24-bit RGB video samples to
+    (h, w, 3) uint8 arrays.  Typed seam for entropy-coded codecs."""
+    if track.codec != "raw ":
+        raise NotImplementedError(
+            f"pixel decode for codec {track.codec!r} is not available; "
+            "only the QuickTime 'raw ' uncompressed RGB entry decodes "
+            "(byte-range demux via extract_samples works for any codec)"
+        )
+    if track.depth not in (0, 24):
+        raise Mp4Error(f"'raw ' depth {track.depth} unsupported (24-bit only)")
+    w, h = track.width, track.height
+    frames = []
+    for b in extract_samples(data, track, indices):
+        if len(b) != w * h * 3:
+            raise Mp4Error(f"raw frame is {len(b)} bytes, expected {w * h * 3}")
+        frames.append(np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3))
+    return frames
+
+
+def decode_pcm_audio(data: bytes, track: Mp4Track) -> np.ndarray:
+    """Decode ``'twos'``/``'sowt'`` 16-bit PCM to an int64 sample
+    array (interleaved channels, matching the WAV certification)."""
+    if track.codec not in ("twos", "sowt"):
+        raise NotImplementedError(
+            f"audio decode for codec {track.codec!r} is not available; "
+            "only 'twos'/'sowt' 16-bit PCM decodes"
+        )
+    if track.sample_bits != 16:
+        raise Mp4Error(f"{track.sample_bits}-bit PCM unsupported (16-bit only)")
+    raw = b"".join(extract_samples(data, track))
+    dt = ">i2" if track.codec == "twos" else "<i2"
+    return np.frombuffer(raw, dtype=dt).astype(np.int64)
+
+
+def frame_indices_at_fps(track: Mp4Track, fps: float) -> np.ndarray:
+    """Real frame sampling: for each tick k/fps, the index of the
+    sample whose decode time covers the tick (last dts <= tick) —
+    the container-backed version of the synthetic frame_sample grid."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    if track.n_samples == 0:
+        return np.empty(0, np.int64)
+    end = track.duration / track.timescale if track.timescale else 0.0
+    n_ticks = max(int(np.ceil(end * fps)), 1)
+    ticks = (np.arange(n_ticks) / fps * track.timescale).astype(np.int64)
+    idx = np.searchsorted(track.dts, ticks, side="right") - 1
+    return np.clip(idx, 0, track.n_samples - 1)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _chunks_of(n_samples: int, samples_per_chunk: int) -> List[int]:
+    """Chunk sizes for n samples at the given nominal chunk size."""
+    if n_samples == 0:
+        return []
+    full, rem = divmod(n_samples, samples_per_chunk)
+    out = [samples_per_chunk] * full
+    if rem:
+        out.append(rem)
+    return out
+
+
+def _stsc(chunk_sizes: List[int]) -> bytes:
+    """Collapse per-chunk sample counts into stsc runs."""
+    runs = []  # (first_chunk_1based, samples_per_chunk, desc_idx)
+    for i, c in enumerate(chunk_sizes):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c, 1))
+    body = struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", *r) for r in runs
+    )
+    return _fullbox(b"stsc", 0, 0, body)
+
+
+def _stts(durations: Sequence[int]) -> bytes:
+    runs = []
+    for d in durations:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, int(d)])
+    body = struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">II", c, d) for c, d in runs
+    )
+    return _fullbox(b"stts", 0, 0, body)
+
+
+@dataclass
+class _TrackPlan:
+    handler: bytes
+    codec: bytes
+    timescale: int
+    sample_payloads: List[bytes]
+    sample_durations: List[int]
+    samples_per_chunk: int
+    width: int = 0
+    height: int = 0
+    channels: int = 0
+    sample_rate: int = 0
+    chunk_sizes: List[int] = field(default_factory=list)
+    chunk_byte_lens: List[int] = field(default_factory=list)
+    chunk_offsets: List[int] = field(default_factory=list)
+
+    def plan_chunks(self) -> None:
+        self.chunk_sizes = _chunks_of(len(self.sample_payloads), self.samples_per_chunk)
+        self.chunk_byte_lens = []
+        i = 0
+        for c in self.chunk_sizes:
+            self.chunk_byte_lens.append(sum(len(p) for p in self.sample_payloads[i : i + c]))
+            i += c
+
+
+def encode_mp4(frames: Sequence[np.ndarray], fps: int = 30, *,
+               audio: Optional[np.ndarray] = None, sample_rate: int = 8000,
+               samples_per_chunk: int = 3, audio_samples_per_chunk: int = 1024,
+               use_co64: bool = False, mdat_first: bool = True,
+               timescale: int = 600) -> bytes:
+    """Write a progressive MP4: one ``'raw '`` RGB24 video track from
+    (h, w, 3) uint8 frames, optionally one ``'sowt'`` 16-bit PCM mono
+    audio track.  ``samples_per_chunk``/``use_co64``/``mdat_first``
+    vary the physical layout so tests can exercise every parser path.
+    """
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("all frames must be uint8 (h, w, 3)")
+    if timescale % fps:
+        raise ValueError("timescale must be a multiple of fps for exact durations")
+    dur_per_frame = timescale // fps
+
+    plans = [
+        _TrackPlan(
+            handler=b"vide", codec=b"raw ", timescale=timescale,
+            sample_payloads=[f.tobytes() for f in frames],
+            sample_durations=[dur_per_frame] * len(frames),
+            samples_per_chunk=samples_per_chunk, width=w, height=h,
+        )
+    ]
+    if audio is not None:
+        pcm = np.asarray(audio, dtype=np.int16)
+        plans.append(
+            _TrackPlan(
+                handler=b"soun", codec=b"sowt", timescale=sample_rate,
+                sample_payloads=[struct.pack("<h", int(v)) for v in pcm],
+                sample_durations=[1] * len(pcm),
+                samples_per_chunk=audio_samples_per_chunk,
+                channels=1, sample_rate=sample_rate,
+            )
+        )
+    for p in plans:
+        p.plan_chunks()
+
+    # interleave chunks round-robin across tracks inside one mdat
+    order: List[Tuple[int, int]] = []  # (track_idx, chunk_idx)
+    maxc = max(len(p.chunk_sizes) for p in plans)
+    for c in range(maxc):
+        for ti, p in enumerate(plans):
+            if c < len(p.chunk_sizes):
+                order.append((ti, c))
+    mdat_payload_len = sum(p.chunk_byte_lens[c] for (ti, c) in order for p in [plans[ti]])
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp42")
+
+    def layout(mdat_data_start: int) -> None:
+        off = mdat_data_start
+        for p in plans:
+            p.chunk_offsets = [0] * len(p.chunk_sizes)
+        for ti, c in order:
+            plans[ti].chunk_offsets[c] = off
+            off += plans[ti].chunk_byte_lens[c]
+
+    if mdat_first:
+        layout(len(ftyp) + 8)
+        moov = _moov(plans, timescale, use_co64)
+    else:
+        # moov precedes mdat: moov length is layout-independent (stco
+        # entry WIDTH is fixed by use_co64), so one dry pass sizes it
+        layout(0)
+        moov_len = len(_moov(plans, timescale, use_co64))
+        layout(len(ftyp) + moov_len + 8)
+        moov = _moov(plans, timescale, use_co64)
+
+    mdat_body = bytearray()
+    for ti, c in order:
+        p = plans[ti]
+        i = sum(p.chunk_sizes[:c])
+        for payload in p.sample_payloads[i : i + p.chunk_sizes[c]]:
+            mdat_body += payload
+    assert len(mdat_body) == mdat_payload_len
+    mdat = _box(b"mdat", bytes(mdat_body))
+
+    return ftyp + (mdat + moov if mdat_first else moov + mdat)
+
+
+def _moov(plans: List[_TrackPlan], movie_timescale: int, use_co64: bool) -> bytes:
+    movie_dur = 0
+    for p in plans:
+        tdur = sum(p.sample_durations)
+        movie_dur = max(movie_dur, tdur * movie_timescale // p.timescale)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)                 # creation, modification
+        + struct.pack(">II", movie_timescale, movie_dur)
+        + struct.pack(">I", 0x00010000)          # rate 1.0
+        + struct.pack(">H", 0x0100)              # volume 1.0
+        + b"\x00" * 10
+        + _unit_matrix()
+        + b"\x00" * 24                           # pre_defined
+        + struct.pack(">I", len(plans) + 1),     # next_track_ID
+    )
+    traks = b"".join(
+        _trak(p, ti + 1, movie_timescale, use_co64) for ti, p in enumerate(plans)
+    )
+    return _box(b"moov", mvhd + traks)
+
+
+def _unit_matrix() -> bytes:
+    return struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def _trak(p: _TrackPlan, track_id: int, movie_timescale: int, use_co64: bool) -> bytes:
+    tdur = sum(p.sample_durations)
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", track_id, 0)
+        + struct.pack(">I", tdur * movie_timescale // p.timescale)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100 if p.handler == b"soun" else 0, 0)
+        + _unit_matrix()
+        + struct.pack(">II", p.width << 16, p.height << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", p.timescale, tdur)
+        + struct.pack(">HH", 0x55C4, 0),         # language 'und'
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + p.handler + b"\x00" * 12 + b"\x00",
+    )
+    if p.handler == b"vide":
+        mhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        entry = _sample_entry_video(p)
+    else:
+        mhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        entry = _sample_entry_audio(p)
+    dinf = _box(b"dinf", _fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b"")
+    ))
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _stts(p.sample_durations)
+    stsc = _stsc(p.chunk_sizes)
+    sizes = [len(b) for b in p.sample_payloads]
+    if len(set(sizes)) == 1:
+        stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", sizes[0], len(sizes)))
+    else:
+        stsz = _fullbox(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    if use_co64:
+        co = _fullbox(
+            b"co64", 0, 0,
+            struct.pack(">I", len(p.chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in p.chunk_offsets),
+        )
+    else:
+        co = _fullbox(
+            b"stco", 0, 0,
+            struct.pack(">I", len(p.chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in p.chunk_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+    minf = _box(b"minf", mhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _sample_entry_video(p: _TrackPlan) -> bytes:
+    return _box(
+        p.codec,
+        b"\x00" * 6 + struct.pack(">H", 1)       # data_reference_index
+        + b"\x00" * 16                           # pre_defined/reserved
+        + struct.pack(">HH", p.width, p.height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                   # frame_count
+        + b"\x00" * 32                           # compressorname
+        + struct.pack(">Hh", 24, -1),            # depth, pre_defined
+    )
+
+
+def _sample_entry_audio(p: _TrackPlan) -> bytes:
+    return _box(
+        p.codec,
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)               # version, revision
+        + struct.pack(">I", 0)                   # vendor
+        + struct.pack(">HH", p.channels, 16)     # channels, sample size
+        + struct.pack(">HH", 0, 0)               # compression id, packet size
+        + struct.pack(">I", p.sample_rate << 16),
+    )

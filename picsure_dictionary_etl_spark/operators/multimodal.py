@@ -12,9 +12,16 @@ full-coverage PNG (the pure-stdlib codec in :mod:`~.png_codec`: zlib
 inflate, all five unfilters, Adam7 interlace, palette/grey-alpha/RGBA
 color types, 1-16 bit depths) — see :func:`decode_media` /
 :func:`resize_ppm_images` / :func:`image_channel_sums`, with
-deterministic synthetic generators for tests. Codecs that genuinely
-need external libraries (arithmetic-coded/12-bit/hierarchical JPEG,
-MP4 frame extraction) remain honestly stubbed: ``_fake_decode``
+deterministic synthetic generators for tests. MP4 (ISO BMFF) is also
+REAL: the from-scratch demuxer/writer in :mod:`~.mp4_codec` walks the
+box tree, expands the stts/stsc/stsz/stco sample tables with
+vectorized numpy, and decodes ``'raw '`` RGB video + ``'twos'``/
+``'sowt'`` PCM audio tracks (see :func:`synthetic_mp4_media` /
+:func:`mp4_track_sums`); entropy-coded video codecs inside MP4
+(avc1/hev1) and fragmented files stay typed seams. Codecs that
+genuinely need external libraries (arithmetic-coded/12-bit/
+hierarchical JPEG, H.264 frame decode) remain honestly stubbed:
+``_fake_decode``
 produces a deterministic byte-statistics vector so the Spark-side
 plumbing — schema, batch shape, partitioning — stays fully testable,
 and production swaps in PIL/ffmpeg at the same seam.
@@ -202,17 +209,19 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
-    """Stub seam for codecs the container can't decode (MP4,
-    arithmetic-coded/12-bit/hierarchical JPEG). PPM images, huffman
-    JPEG (sequential + progressive, incl. 4:2:0/4:2:2 subsampling and
-    multi-scan), PNG (all color types, depths and both interlace
-    methods) and PCM WAV audio decode for real — see
+    """Stub seam for codecs the container can't decode (H.264/HEVC
+    video essence, arithmetic-coded/12-bit/hierarchical JPEG). PPM
+    images, huffman JPEG (sequential + progressive, incl. 4:2:0/4:2:2
+    subsampling and multi-scan), PNG (all color types, depths and both
+    interlace methods), PCM WAV audio and MP4 containers carrying
+    ``'raw '`` RGB video / PCM audio decode for real — see
     :func:`decode_media` / :func:`resize_ppm_images` /
-    :func:`image_channel_sums`."""
+    :func:`image_channel_sums` / :func:`mp4_track_sums`."""
     raise NotImplementedError(
-        "MP4 (and arithmetic-coded / 12-bit JPEG) codecs are not "
-        "available in this environment; PPM, JPEG, PNG and WAV payloads "
-        "decode for real via decode_media()/image_channel_sums()"
+        "entropy-coded video essence (H.264/HEVC) and arithmetic-coded/"
+        "12-bit JPEG are not available in this environment; PPM, JPEG, "
+        "PNG, WAV and raw-video/PCM MP4 payloads decode for real via "
+        "decode_media()/image_channel_sums()/mp4_track_sums()"
     )
 
 
@@ -763,3 +772,110 @@ def synthetic_wav_media(spark, n: int, rate: int = 8000, seconds: float = 0.25) 
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------- REAL MP4 (ISO BMFF) container: demux + raw-track decode ----------
+
+
+MP4_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("video_ms", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("n_audio", T.LongType(), False),
+        T.StructField("audio_sum", T.LongType(), False),
+        T.StructField("audio_min", T.LongType(), False),
+        T.StructField("audio_max", T.LongType(), False),
+        T.StructField("fidx_sum", T.LongType(), False),
+    ]
+)
+
+
+def synthetic_mp4_media(spark, n: int, width: int = 16, height: int = 12,
+                        n_frames: int = 6, fps: int = 5,
+                        n_audio: int = 512, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL MP4 payloads via the from-scratch ISO BMFF
+    writer (:mod:`~.mp4_codec`): one ``'raw '`` RGB24 video track whose
+    pixel (x, y, frame f, channel) values are pure integer functions of
+    media_id — r=(x*3+f*7+id)%256, g=(y*5+f*11+id*3)%256,
+    b=(x+y+f*13+id*7)%256 — plus one ``'sowt'`` PCM track with
+    x[i]=(i*(id+5)+id*13)%65536-32768. The physical layout rotates by
+    id (samples_per_chunk=1+id%4, co64 on odd ids, moov-first on
+    ids≡0 mod 3) so ONE certification query exercises every parser
+    path: stco vs co64, chunk interleave orders, and the moov-first
+    dry-pass offset sizing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .mp4_codec import encode_mp4
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        i = np.arange(n_audio, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                frames = []
+                for f in range(n_frames):
+                    r = (xx * 3 + f * 7 + m) % 256
+                    g = (yy * 5 + f * 11 + m * 3) % 256
+                    b = (xx + yy + f * 13 + m * 7) % 256
+                    frames.append(np.stack([r, g, b], axis=-1).astype(np.uint8))
+                audio = ((i * (m + 5) + m * 13) % 65536 - 32768).astype(np.int16)
+                blob = encode_mp4(
+                    frames, fps=fps, audio=audio, sample_rate=sample_rate,
+                    samples_per_chunk=1 + m % 4, use_co64=(m % 2 == 1),
+                    mdat_first=(m % 3 != 0),
+                )
+                rows.append((m, "video", blob, width, height,
+                             int(n_frames * 1000 / fps)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def mp4_track_sums(media: DataFrame, sample_fps: float = 2.0) -> DataFrame:
+    """Byte-exact certification of the REAL MP4 demux + decode: parse
+    each payload's box tree and sample tables, decode the ``'raw '``
+    RGB frames and PCM audio, and emit integer statistics — per-channel
+    pixel sums across ALL frames, raw 16-bit sample stats, the mdhd
+    track duration, and the sum of :func:`~.mp4_codec.frame_indices_at_fps`
+    at ``sample_fps`` (certifying the stts→dts expansion, not just byte
+    ranges). Every output is an exact integer a DuckDB twin recomputes
+    from media_id alone."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .mp4_codec import (decode_pcm_audio, decode_raw_frames,
+                                frame_indices_at_fps, parse_mp4)
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(b)
+                info = parse_mp4(blob)
+                v, a = info.video(), info.audio()
+                if v is None or a is None:
+                    raise ValueError("certification payload must have both tracks")
+                frames = decode_raw_frames(blob, v)
+                px = np.stack(frames).astype(np.int64)   # (f, h, w, 3)
+                pcm = decode_pcm_audio(blob, a)
+                fidx = frame_indices_at_fps(v, sample_fps)
+                rows.append((
+                    int(mid), len(frames), v.width, v.height, v.duration_ms(),
+                    int(px[..., 0].sum()), int(px[..., 1].sum()),
+                    int(px[..., 2].sum()),
+                    int(pcm.shape[0]), int(pcm.sum()), int(pcm.min()),
+                    int(pcm.max()), int(fidx.sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in MP4_SUMS_SCHEMA])
+
+    return media.mapInPandas(process, MP4_SUMS_SCHEMA)

@@ -30,6 +30,19 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Local-mode Python workers inherit the JVM's environment, NOT the
+    # driver's sys.path — a user script run from outside the repo (e.g.
+    # `sys.path.insert(0, ...)` then get_spark()) would crash inside any
+    # mapInPandas closure that imports this package. Export the package
+    # parent onto PYTHONPATH before the JVM launches so worker imports
+    # resolve regardless of caller cwd. Cluster deployments ship the
+    # package via --py-files (see jobs/replay_job.py) instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -841,3 +841,180 @@ def test_resize_ppm_mixed_corpus_and_corrupt(spark):
     assert bytes(out[(77, "image")]["payload"]).startswith(b"P6\n32 24")
     wav_row = out[(0, "audio")]
     assert wav_row["out_width"] is None and wav_row["out_height"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) codec — from-scratch demuxer/writer (operators/mp4_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def _hand_mp4(codec=b"raw ", stsz_count=2, stco0=24, extra_trak=b"",
+              extra_stbl=b""):
+    """A minimal video-only MP4 built with EXPLICIT struct.pack and
+    literal byte offsets — independent of the module's writer, so
+    writer<->parser round trips can't be self-consistently wrong.
+
+    Layout: ftyp(16) | mdat(8 hdr + 12 payload: two 2x1 RGB frames) |
+    moov.  Chunk offsets are the LITERALS 24 and 30."""
+    import struct
+
+    def box(t, p):
+        return struct.pack(">I4s", 8 + len(p), t) + p
+
+    def full(t, p):
+        return box(t, b"\x00\x00\x00\x00" + p)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))  # 16 bytes, no compat list
+    assert len(ftyp) == 16
+    mdat = box(b"mdat", bytes(range(1, 13)))  # frames [1..6], [7..12]
+
+    entry = box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
+        + b"\x00" * 16                              # pre_defined/reserved
+        + struct.pack(">HH", 2, 1)                  # width=2 height=1
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, 2, 100))     # 2 samples, delta 100
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))   # 1 sample/chunk
+    stsz = full(b"stsz", struct.pack(">II", 6, stsz_count))  # uniform 6 bytes
+    stco = full(b"stco", struct.pack(">III", 2, stco0, 30))  # LITERAL offsets
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + extra_stbl)
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + box(b"url ", b"\x00\x00\x00\x01")))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 200, 200)
+                + struct.pack(">HH", 0x55C4, 0))
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + struct.pack(">II", 0, 200)
+                + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", 2 << 16, 1 << 16))
+    trak = box(b"trak", tkhd + extra_trak + box(b"mdia", mdhd + hdlr + minf))
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 200, 200)
+                + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+                + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    return ftyp + mdat + box(b"moov", mvhd + trak)
+
+
+def test_mp4_roundtrip_layout_matrix():
+    """Writer -> demuxer bit-exact round trip for raw RGB frames and
+    PCM audio across every physical layout the writer can emit:
+    samples-per-chunk 1/3/7, stco vs co64, mdat-first vs moov-first
+    (the moov-first path exercises the dry-pass offset sizing)."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import mp4_codec as m
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8) for _ in range(10)]
+    audio = rng.integers(-30000, 30000, 4000, dtype=np.int16)
+    for spc in (1, 3, 7):
+        for co64 in (False, True):
+            for mf in (True, False):
+                blob = m.encode_mp4(
+                    frames, fps=5, audio=audio, sample_rate=8000,
+                    samples_per_chunk=spc, use_co64=co64, mdat_first=mf)
+                info = m.parse_mp4(blob)
+                v, a = info.video(), info.audio()
+                dec = m.decode_raw_frames(blob, v)
+                assert len(dec) == 10
+                assert all((d == f).all() for d, f in zip(dec, frames))
+                assert (m.decode_pcm_audio(blob, a) == audio.astype(np.int64)).all()
+                assert (v.width, v.height, v.codec, v.depth) == (16, 12, "raw ", 24)
+                assert (a.sample_rate, a.channels, a.sample_bits) == (8000, 1, 16)
+                # stts->dts expansion: ticks 0/0.5/1.0/1.5s over a
+                # 2s-at-5fps clip pick frames 0, 2, 5, 7
+                assert m.frame_indices_at_fps(v, 2.0).tolist() == [0, 2, 5, 7]
+
+
+def test_mp4_demuxer_against_hand_built_bytes():
+    """The demuxer is pinned against a hand-assembled blob with literal
+    chunk offsets (24, 30) — fully independent of encode_mp4."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import mp4_codec as m
+
+    blob = _hand_mp4()
+    info = m.parse_mp4(blob)
+    assert info.timescale == 200 and len(info.tracks) == 1
+    v = info.video()
+    assert (v.track_id, v.codec, v.width, v.height, v.depth) == (1, "raw ", 2, 1, 24)
+    assert v.timescale == 200 and v.duration == 200
+    assert v.offsets.tolist() == [24, 30]
+    assert v.sizes.tolist() == [6, 6]
+    assert v.dts.tolist() == [0, 100]
+    f0, f1 = m.decode_raw_frames(blob, v)
+    assert f0.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    assert f1.tolist() == [[[7, 8, 9], [10, 11, 12]]]
+    assert [bytes(s) for s in m.extract_samples(blob, v)] == [
+        bytes(range(1, 7)), bytes(range(7, 13))]
+
+
+def test_mp4_typed_seams_and_corrupt():
+    """Honest seams raise typed errors; malformed tables raise Mp4Error
+    (never garbage decode): fragmented files, edit lists, ctts,
+    truncation, stts/stsz disagreement, offsets past EOF, and pixel
+    decode of entropy-coded codecs (demux still works for those)."""
+    import struct
+
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import mp4_codec as m
+
+    def box(t, p):
+        return struct.pack(">I4s", 8 + len(p), t) + p
+
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        m.parse_mp4(_hand_mp4() + box(b"moof", b""))
+    with pytest.raises(NotImplementedError, match="elst"):
+        m.parse_mp4(_hand_mp4(extra_trak=box(b"edts", b"")))
+    with pytest.raises(NotImplementedError, match="ctts"):
+        m.parse_mp4(_hand_mp4(extra_stbl=box(
+            b"ctts", b"\x00" * 4 + struct.pack(">I", 0))))
+    with pytest.raises(m.Mp4Error):
+        m.parse_mp4(_hand_mp4()[:20])          # truncated inside mdat
+    with pytest.raises(m.Mp4Error, match="stsz declares"):
+        m.parse_mp4(_hand_mp4(stsz_count=3))   # stts covers only 2
+    with pytest.raises(m.Mp4Error, match="overruns the file"):
+        m.parse_mp4(_hand_mp4(stco0=60000))
+    # entropy-coded codec: byte-range demux works, pixel decode is a seam
+    blob = _hand_mp4(codec=b"avc1")
+    info = m.parse_mp4(blob)
+    assert len(m.extract_samples(blob, info.video())) == 2
+    with pytest.raises(NotImplementedError, match="avc1"):
+        m.decode_raw_frames(blob, info.video())
+    with pytest.raises(NotImplementedError, match="audio decode"):
+        m.decode_pcm_audio(blob, info.video())
+
+
+def test_mp4_track_sums_spark(spark):
+    """Driver-query twin: synthetic MP4 payloads (layouts rotating by
+    id) demux + decode inside mapInPandas to integer statistics
+    matching a local numpy recompute exactly."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import multimodal as mm
+
+    media = mm.synthetic_mp4_media(spark, 4)
+    got = {r["media_id"]: r for r in mm.mp4_track_sums(media, sample_fps=2.0).collect()}
+    assert len(got) == 4
+    yy, xx = np.mgrid[0:12, 0:16]
+    i = np.arange(512, dtype=np.int64)
+    for mid in range(4):
+        r_sum = sum(int(((xx * 3 + f * 7 + mid) % 256).sum()) for f in range(6))
+        g_sum = sum(int(((yy * 5 + f * 11 + mid * 3) % 256).sum()) for f in range(6))
+        b_sum = sum(int(((xx + yy + f * 13 + mid * 7) % 256).sum()) for f in range(6))
+        pcm = (i * (mid + 5) + mid * 13) % 65536 - 32768
+        row = got[mid]
+        assert (row["n_frames"], row["width"], row["height"], row["video_ms"]) \
+            == (6, 16, 12, 1200)
+        assert (row["r_sum"], row["g_sum"], row["b_sum"]) == (r_sum, g_sum, b_sum)
+        assert (row["n_audio"], row["audio_sum"], row["audio_min"], row["audio_max"]) \
+            == (512, int(pcm.sum()), int(pcm.min()), int(pcm.max()))
+        assert row["fidx_sum"] == 7   # frames 0+2+5 at 2fps over 1.2s@5fps
