@@ -1787,10 +1787,13 @@ def q_multimodal_real_decode_video(spark, sf_dir):
     container payloads written by the from-scratch pure-stdlib writer
     (operators/mp4_codec.py) — one 'raw ' RGB24 video track and one
     'sowt' PCM audio track per id, with the physical layout rotating by
-    id (samples_per_chunk 1-4, stco vs co64, mdat-first vs moov-first)
-    so one query exercises every sample-table parser path. The demuxer
-    expands stts/stsc/stsz/stco with vectorized numpy, decodes both
-    tracks, and projects integer statistics (per-channel pixel sums
+    id (samples_per_chunk 1-4, stco vs co64, mdat-first vs moov-first,
+    and FRAGMENTED moof/tfdt/trun files — trex/tfhd defaults and
+    per-sample trun arrays — on ids with id%5>=3) so one query
+    exercises every sample-table parser path. The demuxer expands
+    stts/stsc/stsz/stco (and the fragment runs) with vectorized numpy,
+    decodes both tracks, and projects integer statistics (per-channel
+    pixel sums
     over all frames, raw 16-bit PCM stats, mdhd duration, and the
     stts→dts frame-index sum at 2 fps) that the DuckDB twin recomputes
     exactly from media_id alone. sf-independent by design (fixed 16

@@ -20,14 +20,19 @@ Built from public specs only:
 
 Scope (honest seams, typed errors):
 
-- DEMUX works for any sane progressive MP4 — sample-entry codec is
-  opaque to the sample-table math, so byte-range extraction works for
+- DEMUX works for any sane MP4 — progressive (``stbl`` sample tables)
+  AND fragmented (``moof``/``tfhd``/``tfdt``/``trun`` per ISO 14496-12
+  §8.8, with ``trex`` defaults; base-data-offset and
+  default-base-is-moof addressing).  The sample-entry codec is opaque
+  to the sample-table math, so byte-range extraction works for
   avc1/hev1/… too.  Pixel DECODE is only real for ``'raw '`` video and
   ``'twos'``/``'sowt'`` PCM audio (no entropy-coded codecs in this
   container, same rule as the JPEG/PNG split).
-- Fragmented MP4 (``moof``/``trun``) and edit lists (``elst``) raise
-  ``NotImplementedError``; ``ctts`` (B-frame reordering) is absent for
-  raw video by construction and rejected if present.
+- Edit lists (``elst``) raise ``NotImplementedError``; ``ctts`` /
+  nonzero ``trun`` composition offsets (B-frame reordering) are absent
+  for raw video by construction and rejected if present; implicit
+  previous-traf base offsets (neither tfhd base-data-offset nor
+  default-base-is-moof) are rejected as a typed seam.
 
 Scale notes: sample-table expansion (stts/stsc run-length → per-sample
 offset/size/dts arrays) is fully vectorized numpy — a multi-million
@@ -165,23 +170,23 @@ class Mp4Info:
 
 
 def parse_mp4(data: bytes) -> Mp4Info:
-    """Parse an unfragmented MP4/QuickTime file into track sample
-    tables.  Raises :class:`Mp4Error` on malformed input and
-    ``NotImplementedError`` on fragmented files / edit lists."""
+    """Parse an MP4/QuickTime file — progressive (``stbl``) or
+    fragmented (``moof``/``trun``) — into per-track sample tables.
+    Raises :class:`Mp4Error` on malformed input and
+    ``NotImplementedError`` on the documented seams (edit lists,
+    composition offsets, implicit previous-traf base offsets)."""
     if data is None or len(data) < 16:
         raise Mp4Error("payload too short for an MP4")
     major = b"????"
     moov: Optional[Tuple[int, int]] = None
+    moofs: List[Tuple[int, int, int]] = []  # (moof_start, body_start, end)
     for t, b, e in _iter_boxes(data, 0, len(data)):
         if t == b"ftyp":
             major = data[b : b + 4]
         elif t == b"moov":
             moov = (b, e)
-        elif t in (b"moof", b"mvex"):
-            raise NotImplementedError(
-                "fragmented MP4 (moof/mvex) is not supported; demux the "
-                "progressive layout or defragment upstream"
-            )
+        elif t == b"moof":
+            moofs.append((b - 8, b, e))
     if moov is None:
         raise Mp4Error("no moov box")
     ms, me = moov
@@ -198,8 +203,179 @@ def parse_mp4(data: bytes) -> Mp4Info:
     for t, b, e in _iter_boxes(data, ms, me):
         if t == b"trak":
             tracks.append(_parse_trak(data, b, e))
-    return Mp4Info(major_brand=major.decode("latin1"), timescale=ts,
+    if moofs:
+        trex = {}
+        mvex = _find(data, ms, me, b"mvex")
+        if mvex is not None:
+            trex = _parse_mvex(data, mvex[0], mvex[1])
+        _apply_fragments(data, moofs, tracks, trex)
+    info = Mp4Info(major_brand=major.decode("latin1"), timescale=ts,
                    duration=dur, tracks=tracks)
+    return info
+
+
+# ---------------------------------------------------------------------------
+# fragmented layout (moof/traf/trun, ISO 14496-12 §8.8)
+# ---------------------------------------------------------------------------
+
+_TFHD_BASE_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEF_DURATION = 0x000008
+_TFHD_DEF_SIZE = 0x000010
+_TFHD_DEF_FLAGS = 0x000020
+_TFHD_BASE_IS_MOOF = 0x020000
+
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+
+def _parse_mvex(data: bytes, start: int, end: int) -> dict:
+    """trex boxes → per-track (default_sample_duration, default_sample_size)."""
+    out = {}
+    for t, b, e in _iter_boxes(data, start, end):
+        if t == b"trex":
+            tid, _desc, ddur, dsize, _dflags = struct.unpack_from(">IIIII", data, b + 4)
+            out[tid] = (ddur, dsize)
+    return out
+
+
+def _apply_fragments(data: bytes, moofs: List[Tuple[int, int, int]],
+                     tracks: List[Mp4Track], trex: dict) -> None:
+    """Walk every moof/traf/trun, expand per-sample offset/size/duration
+    arrays (vectorized per trun) and append them to the moov tracks."""
+    by_id = {tr.track_id: tr for tr in tracks}
+    acc = {tid: {"off": [], "size": [], "dur": [], "dts": [], "next_dts": 0}
+           for tid in by_id}
+    for moof_start, body, end in moofs:
+        for t, b, e in _iter_boxes(data, body, end):
+            if t == b"traf":
+                _parse_traf(data, b, e, moof_start, by_id, trex, acc)
+    for tid, tr in by_id.items():
+        a = acc[tid]
+        if not a["off"]:
+            continue
+        off = np.concatenate(a["off"])
+        size = np.concatenate(a["size"])
+        dur = np.concatenate(a["dur"])
+        dts = np.concatenate(a["dts"])
+        if size.size and int((off + size).max()) > len(data):
+            raise Mp4Error("fragment sample byte range overruns the file")
+        tr.offsets = np.concatenate([tr.offsets, off])
+        tr.sizes = np.concatenate([tr.sizes, size])
+        tr.durations = np.concatenate([tr.durations, dur])
+        tr.dts = np.concatenate([tr.dts, dts])
+        total = int(tr.dts[-1] + tr.durations[-1]) if tr.dts.size else 0
+        tr.duration = max(tr.duration, total)
+
+
+def _parse_traf(data: bytes, start: int, end: int, moof_start: int,
+                by_id: dict, trex: dict, acc: dict) -> None:
+    tfhd = _find(data, start, end, b"tfhd")
+    if tfhd is None:
+        raise Mp4Error("traf without tfhd")
+    _, flags = _full(data, tfhd[0])
+    off = tfhd[0] + 4
+    (tid,) = struct.unpack_from(">I", data, off)
+    off += 4
+    if tid not in by_id:
+        raise Mp4Error(f"traf references unknown track {tid}")
+    base: Optional[int] = None
+    if flags & _TFHD_BASE_OFFSET:
+        (base,) = struct.unpack_from(">Q", data, off)
+        off += 8
+    if flags & _TFHD_SAMPLE_DESC:
+        off += 4
+    def_dur, def_size = trex.get(tid, (0, 0))
+    if flags & _TFHD_DEF_DURATION:
+        (def_dur,) = struct.unpack_from(">I", data, off)
+        off += 4
+    if flags & _TFHD_DEF_SIZE:
+        (def_size,) = struct.unpack_from(">I", data, off)
+        off += 4
+    if base is None:
+        if flags & _TFHD_BASE_IS_MOOF:
+            base = moof_start
+        else:
+            raise NotImplementedError(
+                "tfhd without base-data-offset or default-base-is-moof "
+                "(implicit previous-traf chaining) is not supported"
+            )
+    a = acc[tid]
+    tfdt = _find(data, start, end, b"tfdt")
+    if tfdt is not None:
+        ver, _ = _full(data, tfdt[0])
+        if ver == 1:
+            (a["next_dts"],) = struct.unpack_from(">Q", data, tfdt[0] + 4)
+        else:
+            (a["next_dts"],) = struct.unpack_from(">I", data, tfdt[0] + 4)
+    cursor: Optional[int] = None  # byte position after the previous trun
+    for t, b, e in _iter_boxes(data, start, end):
+        if t != b"trun":
+            continue
+        cursor = _parse_trun(data, b, base, cursor, def_dur, def_size, a)
+
+
+def _parse_trun(data: bytes, body: int, base: int, cursor: Optional[int],
+                def_dur: int, def_size: int, acc_entry: dict) -> int:
+    _, flags = _full(data, body)
+    (n,) = struct.unpack_from(">I", data, body + 4)
+    off = body + 8
+    if flags & _TRUN_DATA_OFFSET:
+        (doff,) = struct.unpack_from(">i", data, off)
+        off += 4
+        start = base + doff
+    elif cursor is not None:
+        start = cursor
+    else:
+        raise Mp4Error("first trun of a traf lacks data_offset")
+    if flags & _TRUN_FIRST_FLAGS:
+        off += 4
+    fields = [f for f, present in (
+        ("dur", flags & _TRUN_SAMPLE_DURATION),
+        ("size", flags & _TRUN_SAMPLE_SIZE),
+        ("flg", flags & _TRUN_SAMPLE_FLAGS),
+        ("cts", flags & _TRUN_SAMPLE_CTS),
+    ) if present]
+    if fields:
+        rec = np.frombuffer(
+            data, dtype=np.dtype({"names": fields,
+                                  "formats": [">u4"] * len(fields),
+                                  "itemsize": 4 * len(fields)}),
+            count=n, offset=off)
+    else:
+        rec = None
+    if rec is not None and "cts" in fields and np.any(rec["cts"] != 0):
+        raise NotImplementedError(
+            "trun composition (cts) offsets are not supported — raw video "
+            "has no frame reordering"
+        )
+    if rec is not None and "dur" in fields:
+        durs = rec["dur"].astype(np.int64)
+    else:
+        if not def_dur and n:
+            raise Mp4Error("trun samples have no duration (no default either)")
+        durs = np.full(n, def_dur, dtype=np.int64)
+    if rec is not None and "size" in fields:
+        sizes = rec["size"].astype(np.int64)
+    else:
+        if not def_size and n:
+            raise Mp4Error("trun samples have no size (no default either)")
+        sizes = np.full(n, def_size, dtype=np.int64)
+    offs = start + np.concatenate(([0], np.cumsum(sizes)[:-1])) if n else \
+        np.empty(0, np.int64)
+    dts0 = acc_entry["next_dts"]
+    dts = dts0 + np.concatenate(([0], np.cumsum(durs)[:-1])) if n else \
+        np.empty(0, np.int64)
+    acc_entry["next_dts"] = int(dts0 + durs.sum())
+    acc_entry["off"].append(offs)
+    acc_entry["size"].append(sizes)
+    acc_entry["dur"].append(durs)
+    acc_entry["dts"].append(dts)
+    return int(start + sizes.sum())
 
 
 def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
@@ -474,6 +650,9 @@ class _TrackPlan:
     chunk_sizes: List[int] = field(default_factory=list)
     chunk_byte_lens: List[int] = field(default_factory=list)
     chunk_offsets: List[int] = field(default_factory=list)
+    # fragmented layout: moov tables are empty; total duration comes
+    # from the fragments instead of sample_durations
+    frag_total_dur: int = 0
 
     def plan_chunks(self) -> None:
         self.chunk_sizes = _chunks_of(len(self.sample_payloads), self.samples_per_chunk)
@@ -568,10 +747,111 @@ def encode_mp4(frames: Sequence[np.ndarray], fps: int = 30, *,
     return ftyp + (mdat + moov if mdat_first else moov + mdat)
 
 
-def _moov(plans: List[_TrackPlan], movie_timescale: int, use_co64: bool) -> bytes:
+def encode_mp4_fragmented(frames: Sequence[np.ndarray], fps: int = 30, *,
+                          audio: Optional[np.ndarray] = None,
+                          sample_rate: int = 8000,
+                          frames_per_fragment: int = 4,
+                          per_sample_fields: bool = False,
+                          timescale: int = 600) -> bytes:
+    """Write a FRAGMENTED MP4 (CMAF-style): ``ftyp | moov(mvex/trex) |
+    [moof mdat]*`` with one ``'raw '`` video traf (and optionally one
+    PCM audio traf) per fragment.  ``per_sample_fields=True`` writes
+    explicit per-sample duration+size arrays in each ``trun`` instead
+    of tfhd defaults, exercising the structured-dtype parse path.
+    Addressing uses default-base-is-moof + trun data_offset."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("all frames must be uint8 (h, w, 3)")
+    if timescale % fps:
+        raise ValueError("timescale must be a multiple of fps for exact durations")
+    if frames_per_fragment < 1:
+        raise ValueError("frames_per_fragment must be >= 1")
+    dur = timescale // fps
+    payload_v = [f.tobytes() for f in frames]
+    vsize = w * h * 3
+
+    plans = [
+        _TrackPlan(handler=b"vide", codec=b"raw ", timescale=timescale,
+                   sample_payloads=[], sample_durations=[],
+                   samples_per_chunk=1, width=w, height=h,
+                   frag_total_dur=dur * len(frames))
+    ]
+    trex = [(1, dur, vsize)]
+    pcm = None
+    if audio is not None:
+        pcm = np.asarray(audio, dtype=np.int16)
+        plans.append(
+            _TrackPlan(handler=b"soun", codec=b"sowt", timescale=sample_rate,
+                       sample_payloads=[], sample_durations=[],
+                       samples_per_chunk=1, channels=1,
+                       sample_rate=sample_rate, frag_total_dur=len(pcm))
+        )
+        trex.append((2, 1, 2))
+    for p in plans:
+        p.plan_chunks()
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp42")
+    moov = _moov(plans, timescale, False, trex_defaults=trex)
+    out = [ftyp, moov]
+
+    n_frags = -(-len(frames) // frames_per_fragment)
+    apf = -(-len(pcm) // n_frags) if pcm is not None else 0
+    vdts = adts = 0
+    for k in range(n_frags):
+        vs = payload_v[k * frames_per_fragment : (k + 1) * frames_per_fragment]
+        asamp = (pcm[k * apf : (k + 1) * apf] if pcm is not None
+                 else np.empty(0, np.int16))
+
+        def traf(tid: int, n: int, dts0: int, ddur: int, dsize: int,
+                 sizes: List[int], doff: int) -> bytes:
+            if per_sample_fields:
+                tfhd = _fullbox(b"tfhd", 0, _TFHD_BASE_IS_MOOF,
+                                struct.pack(">I", tid))
+                trun_flags = (_TRUN_DATA_OFFSET | _TRUN_SAMPLE_DURATION
+                              | _TRUN_SAMPLE_SIZE)
+                body = struct.pack(">Ii", n, doff) + b"".join(
+                    struct.pack(">II", ddur, s) for s in sizes)
+            else:
+                tfhd = _fullbox(
+                    b"tfhd", 0,
+                    _TFHD_BASE_IS_MOOF | _TFHD_DEF_DURATION | _TFHD_DEF_SIZE,
+                    struct.pack(">III", tid, ddur, dsize))
+                body = struct.pack(">Ii", n, doff)
+                trun_flags = _TRUN_DATA_OFFSET
+            tfdt = _fullbox(b"tfdt", 1, 0, struct.pack(">Q", dts0))
+            trun = _fullbox(b"trun", 0, trun_flags, body)
+            return _box(b"traf", tfhd + tfdt + trun)
+
+        def moof_bytes(doff_v: int, doff_a: int) -> bytes:
+            mfhd = _fullbox(b"mfhd", 0, 0, struct.pack(">I", k + 1))
+            trafs = traf(1, len(vs), vdts, dur, vsize,
+                         [len(b) for b in vs], doff_v)
+            if pcm is not None and asamp.size:
+                trafs += traf(2, int(asamp.size), adts, 1, 2,
+                              [2] * int(asamp.size), doff_a)
+            return _box(b"moof", mfhd + trafs)
+
+        # two-pass: moof size is independent of the offset VALUES
+        probe = moof_bytes(0, 0)
+        video_bytes = sum(len(b) for b in vs)
+        moof = moof_bytes(len(probe) + 8, len(probe) + 8 + video_bytes)
+        assert len(moof) == len(probe)
+        mdat = _box(b"mdat",
+                    b"".join(vs) + asamp.astype("<i2").tobytes())
+        out.append(moof + mdat)
+        vdts += dur * len(vs)
+        adts += int(asamp.size)
+    return b"".join(out)
+
+
+def _moov(plans: List[_TrackPlan], movie_timescale: int, use_co64: bool,
+          trex_defaults: Optional[List[Tuple[int, int, int]]] = None) -> bytes:
     movie_dur = 0
     for p in plans:
-        tdur = sum(p.sample_durations)
+        tdur = sum(p.sample_durations) or p.frag_total_dur
         movie_dur = max(movie_dur, tdur * movie_timescale // p.timescale)
     mvhd = _fullbox(
         b"mvhd", 0, 0,
@@ -587,7 +867,14 @@ def _moov(plans: List[_TrackPlan], movie_timescale: int, use_co64: bool) -> byte
     traks = b"".join(
         _trak(p, ti + 1, movie_timescale, use_co64) for ti, p in enumerate(plans)
     )
-    return _box(b"moov", mvhd + traks)
+    mvex = b""
+    if trex_defaults is not None:
+        mvex = _box(b"mvex", b"".join(
+            _fullbox(b"trex", 0, 0,
+                     struct.pack(">IIIII", tid, 1, ddur, dsize, 0))
+            for tid, ddur, dsize in trex_defaults
+        ))
+    return _box(b"moov", mvhd + traks + mvex)
 
 
 def _unit_matrix() -> bytes:
@@ -595,7 +882,7 @@ def _unit_matrix() -> bytes:
 
 
 def _trak(p: _TrackPlan, track_id: int, movie_timescale: int, use_co64: bool) -> bytes:
-    tdur = sum(p.sample_durations)
+    tdur = sum(p.sample_durations) or p.frag_total_dur
     tkhd = _fullbox(
         b"tkhd", 0, 7,
         struct.pack(">II", 0, 0)

@@ -805,15 +805,19 @@ def synthetic_mp4_media(spark, n: int, width: int = 16, height: int = 12,
     media_id — r=(x*3+f*7+id)%256, g=(y*5+f*11+id*3)%256,
     b=(x+y+f*13+id*7)%256 — plus one ``'sowt'`` PCM track with
     x[i]=(i*(id+5)+id*13)%65536-32768. The physical layout rotates by
-    id (samples_per_chunk=1+id%4, co64 on odd ids, moov-first on
-    ids≡0 mod 3) so ONE certification query exercises every parser
-    path: stco vs co64, chunk interleave orders, and the moov-first
-    dry-pass offset sizing."""
+    id: ids with id%5>=3 are FRAGMENTED files (moof/tfdt/trun per
+    fragment, trex+tfhd defaults, per-sample trun arrays on id%5==4);
+    the rest are progressive with samples_per_chunk=1+id%4, co64 on
+    odd ids, moov-first on ids≡0 mod 3 — so ONE certification query
+    exercises every parser path (stbl chunk math, stco vs co64,
+    moov-first dry-pass sizing, AND the fragment walk), while the
+    decoded content — hence the oracle — is identical across
+    layouts."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .mp4_codec import encode_mp4
+        from .mp4_codec import encode_mp4, encode_mp4_fragmented
 
         yy, xx = np.mgrid[0:height, 0:width]
         i = np.arange(n_audio, dtype=np.int64)
@@ -828,11 +832,18 @@ def synthetic_mp4_media(spark, n: int, width: int = 16, height: int = 12,
                     b = (xx + yy + f * 13 + m * 7) % 256
                     frames.append(np.stack([r, g, b], axis=-1).astype(np.uint8))
                 audio = ((i * (m + 5) + m * 13) % 65536 - 32768).astype(np.int16)
-                blob = encode_mp4(
-                    frames, fps=fps, audio=audio, sample_rate=sample_rate,
-                    samples_per_chunk=1 + m % 4, use_co64=(m % 2 == 1),
-                    mdat_first=(m % 3 != 0),
-                )
+                if m % 5 >= 3:
+                    blob = encode_mp4_fragmented(
+                        frames, fps=fps, audio=audio, sample_rate=sample_rate,
+                        frames_per_fragment=1 + m % 3,
+                        per_sample_fields=(m % 5 == 4),
+                    )
+                else:
+                    blob = encode_mp4(
+                        frames, fps=fps, audio=audio, sample_rate=sample_rate,
+                        samples_per_chunk=1 + m % 4, use_co64=(m % 2 == 1),
+                        mdat_first=(m % 3 != 0),
+                    )
                 rows.append((m, "video", blob, width, height,
                              int(n_frames * 1000 / fps)))
             yield pd.DataFrame(rows, columns=[

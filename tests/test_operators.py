@@ -970,8 +970,6 @@ def test_mp4_typed_seams_and_corrupt():
     def box(t, p):
         return struct.pack(">I4s", 8 + len(p), t) + p
 
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        m.parse_mp4(_hand_mp4() + box(b"moof", b""))
     with pytest.raises(NotImplementedError, match="elst"):
         m.parse_mp4(_hand_mp4(extra_trak=box(b"edts", b"")))
     with pytest.raises(NotImplementedError, match="ctts"):
@@ -991,6 +989,71 @@ def test_mp4_typed_seams_and_corrupt():
         m.decode_raw_frames(blob, info.video())
     with pytest.raises(NotImplementedError, match="audio decode"):
         m.decode_pcm_audio(blob, info.video())
+
+
+def test_mp4_fragmented_roundtrip_and_seams():
+    """Fragmented MP4 (moof/tfhd/tfdt/trun): writer -> demuxer
+    bit-exact round trip with tfhd-default AND per-sample trun field
+    layouts, ragged final fragments, trex fallback, and the typed
+    seams (implicit base chaining, nonzero cts offsets)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import mp4_codec as m
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(11)]
+    audio = rng.integers(-20000, 20000, 1000, dtype=np.int16)
+    for psf in (False, True):
+        for fpf in (4, 1, 11):
+            blob = m.encode_mp4_fragmented(
+                frames, fps=5, audio=audio, frames_per_fragment=fpf,
+                per_sample_fields=psf)
+            info = m.parse_mp4(blob)
+            v, a = info.video(), info.audio()
+            assert v.n_samples == 11
+            # dts comes from tfdt + per-fragment accumulation
+            assert v.dts.tolist() == [i * 120 for i in range(11)]
+            assert v.duration == 11 * 120
+            dec = m.decode_raw_frames(blob, v)
+            assert all((d == f).all() for d, f in zip(dec, frames))
+            assert (m.decode_pcm_audio(blob, a) == audio.astype(np.int64)).all()
+            # frame sampling works off the fragment-derived dts
+            assert m.frame_indices_at_fps(v, 1.0).tolist() == [0, 5, 10]
+
+    # moov-only parse of a fragmented file with zero fragments yet
+    head = m.encode_mp4_fragmented(frames[:1], fps=5)
+    moov_end = head.index(b"moof") - 4
+    info = m.parse_mp4(head[:moov_end])
+    assert info.video().n_samples == 0
+
+    def box(t, p):
+        return struct.pack(">I4s", 8 + len(p), t) + p
+
+    def full(t, flags, p):
+        return box(t, struct.pack(">I", flags) + p)
+
+    base = head[:moov_end]
+    # tfhd with NEITHER base-data-offset nor default-base-is-moof
+    bad_tfhd = box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
+        b"traf", full(b"tfhd", 0x18, struct.pack(">III", 1, 120, 144))
+        + full(b"trun", 0x1, struct.pack(">Ii", 1, 0))))
+    with pytest.raises(NotImplementedError, match="default-base-is-moof"):
+        m.parse_mp4(base + bad_tfhd)
+    # nonzero composition offsets are a typed seam
+    cts_trun = box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
+        b"traf", full(b"tfhd", 0x20018, struct.pack(">III", 1, 120, 144))
+        + full(b"trun", 0x801, struct.pack(">IiI", 1, 0, 7))))
+    with pytest.raises(NotImplementedError, match="cts"):
+        m.parse_mp4(base + cts_trun)
+    # trun overrunning EOF is malformed, not garbage
+    over_trun = box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
+        b"traf", full(b"tfhd", 0x20018, struct.pack(">III", 1, 120, 144))
+        + full(b"trun", 0x1, struct.pack(">Ii", 1, 50000))))
+    with pytest.raises(m.Mp4Error, match="overruns"):
+        m.parse_mp4(base + over_trun)
 
 
 def test_mp4_track_sums_spark(spark):
