@@ -1,18 +1,21 @@
 """Pure-numpy JPEG (JFIF / ITU T.81) codec.
 
 The container has no imaging libraries, so real JPEG coverage is built
-from the public spec: an 8-bit huffman decoder covering baseline
+from the public spec: a huffman decoder covering baseline
 **sequential** (SOF0, interleaved scans with ANY dividing sampling
-factors — 4:4:4, 4:2:2 and the ubiquitous 4:2:0 included),
-**progressive** (SOF2: spectral selection + successive approximation,
-DC/AC first and refinement scans, EOB runs, per T.81 G.1.2) and
-**non-interleaved multi-scan baseline** files (same coefficient-buffer
-machinery as progressive), plus a minimal writer used to mint
-deterministic certification payloads (sequential, progressive or
-multi-scan; 4:4:4 or subsampled). Arithmetic coding, 12-bit precision,
-hierarchical (SOF5-7/13-15) and lossless modes stay an honest
-``NotImplementedError`` seam — exactly like the PPM/WAV split in
-``operators/multimodal.py``.
+factors — 4:4:4, 4:2:2 and the ubiquitous 4:2:0 included), **extended
+sequential** (SOF1, including **12-bit grayscale** — level shift 2048,
+16-bit DQT entries, DC categories to SSSS 15; the decoder returns
+uint16 samples), **progressive** (SOF2: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB runs,
+per T.81 G.1.2) and **non-interleaved multi-scan baseline** files
+(same coefficient-buffer machinery as progressive), plus a minimal
+writer used to mint deterministic certification payloads (sequential,
+progressive or multi-scan; 4:4:4 or subsampled; 8-bit, or 12-bit
+grayscale via ``encode_jpeg(..., precision=12)``). Arithmetic coding,
+12-bit COLOR, hierarchical (SOF5-7/13-15) and lossless modes stay an
+honest ``NotImplementedError`` seam — exactly like the PPM/WAV split
+in ``operators/multimodal.py``.
 
 Subsampled chroma upsamples by pixel replication (JFIF allows any
 upsampling filter; replication is the exact inverse of box-average
@@ -65,6 +68,12 @@ ZIGZAG = _zigzag_order()
 # every component to these; the decoder reads whatever DHT declares.
 DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUM_VALS = list(range(12))
+# 12-bit DC table: canonical extension of the Annex K luminance table
+# with categories 12..15 (12-bit DC differences span SSSS 0..15, T.81
+# F.1.2.1/table F.1) at lengths 10..13 — Kraft sum stays < 1 so the
+# all-one-bits code is never assigned (T.81 Annex C reserves it).
+DC_LUM_BITS_12 = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+DC_LUM_VALS_12 = list(range(16))
 AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_LUM_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -202,6 +211,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(comp_id, (hs, vs), tq)])
+    prec = 8      # sample precision from SOF (8, or 12 for grayscale SOF1/SOF2)
     progressive = False
     coefs = None  # per-comp (bh, bw, 64) int32, zigzag order (buffered path)
     scans_done = 0
@@ -235,20 +245,29 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
                     j += 128
                 qt[tid] = tbl.astype(np.int32)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only sequential (SOF0) and progressive (SOF2) huffman "
-                f"JPEG supported, got SOF{marker - 0xC0}"
+                f"only sequential (SOF0/SOF1) and progressive (SOF2) "
+                f"huffman JPEG supported, got SOF{marker - 0xC0}"
             )
-        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             progressive = marker == 0xC2
-            if seg[0] != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            prec = seg[0]
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"{prec}-bit sample precision unsupported (8/12 only)"
+                )
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 is 8-bit only (T.81 B.2.2)")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            if prec == 12 and ncomp != 1:
+                raise NotImplementedError(
+                    "12-bit precision is supported for grayscale only"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -293,10 +312,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
             if not progressive and ns == len(frame[2]) and scans_done == 0:
-                # fast path: single interleaved full-band baseline scan
+                # fast path: single interleaved full-band sequential scan
                 return _decode_scan(
                     b, i + 2 + seg_len, frame, qt, huff_dc, huff_ac,
-                    scan_tables, dri,
+                    scan_tables, dri, prec,
                 )
             # buffered path: progressive scans or non-interleaved
             # baseline multi-scan — accumulate coefficients
@@ -313,11 +332,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         # APPn / COM / others: skip
         i += 2 + seg_len
     if scans_done:
-        return _finalize_coefs(frame, qt, coefs)
+        return _finalize_coefs(frame, qt, coefs, prec)
     raise ValueError("no scan (SOS) found")
 
 
-def _decode_one_block(reader, huff_dc, huff_ac, td, ta, pred, ci, q):
+def _decode_one_block(reader, huff_dc, huff_ac, td, ta, pred, ci, q,
+                      shift=128.0, maxv=255):
     """One 8x8 data unit: huffman + DC prediction -> dequant ->
     inverse zigzag -> IDCT -> level-shifted clipped pixels."""
     coef = np.zeros(64, dtype=np.int32)
@@ -342,11 +362,12 @@ def _decode_one_block(reader, huff_dc, huff_ac, td, ta, pred, ci, q):
     block = np.zeros(64, dtype=np.float64)
     block[ZIGZAG] = coef * q
     spatial = _T.T @ block.reshape(8, 8) @ _T
-    return np.clip(np.round(spatial + 128.0), 0, 255)
+    return np.clip(np.round(spatial + shift), 0, maxv)
 
 
-def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri):
+def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri, prec=8):
     h, w, comps = frame
+    shift, maxv = float(1 << (prec - 1)), (1 << prec) - 1
     hmax = max(hs for _, (hs, _), _ in comps)
     vmax = max(vs for _, (_, vs), _ in comps)
     mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -368,17 +389,19 @@ def _decode_scan(b, pos, frame, qt, huff_dc, huff_ac, scan_tables, dri):
                 for vy in range(vs):
                     for vx in range(hs):
                         px = _decode_one_block(
-                            reader, huff_dc, huff_ac, td, ta, pred, ci, qt[tq]
+                            reader, huff_dc, huff_ac, td, ta, pred, ci,
+                            qt[tq], shift, maxv,
                         )
                         r0, c0 = (my * vs + vy) * 8, (mx * hs + vx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
-    return _planes_to_rgb(planes, h, w, comps, hmax, vmax)
+    return _planes_to_rgb(planes, h, w, comps, hmax, vmax, prec)
 
 
-def _planes_to_rgb(planes, h, w, comps, hmax, vmax):
+def _planes_to_rgb(planes, h, w, comps, hmax, vmax, prec=8):
     """Shared decode tail: upsample subsampled components by
-    replication, crop to the frame dims, YCbCr->RGB (T.871)."""
+    replication, crop to the frame dims, YCbCr->RGB (T.871).
+    12-bit grayscale returns uint16 samples (0..4095)."""
     full = []
     for ci, (cid, (hs, vs), tq) in enumerate(comps):
         p = planes[ci]
@@ -387,7 +410,7 @@ def _planes_to_rgb(planes, h, w, comps, hmax, vmax):
         full.append(p)
     planes = [p[:h, :w] for p in full]
     if len(planes) == 1:
-        g = planes[0].astype(np.uint8)
+        g = planes[0].astype(np.uint8 if prec == 8 else np.uint16)
         return np.stack([g, g, g], axis=-1)
     y, cb, cr = (p.astype(np.float64) for p in planes)
     r = y + 1.402 * (cr - 128.0)
@@ -579,10 +602,11 @@ def _decode_scan_buffered(
     return j
 
 
-def _finalize_coefs(frame, qt, coefs):
+def _finalize_coefs(frame, qt, coefs, prec=8):
     """Dequantize + inverse-zigzag + IDCT every buffered block
     (vectorized over blocks), then upsample/crop/color-convert."""
     h, w, comps = frame
+    shift, maxv = float(1 << (prec - 1)), (1 << prec) - 1
     hmax, vmax, _, _ = _frame_geometry(frame)
     planes = []
     for ci, (cid, (hs, vs), tq) in enumerate(comps):
@@ -596,9 +620,9 @@ def _finalize_coefs(frame, qt, coefs):
         spatial = np.einsum("ij,mnjk,kl->mnil", _T.T, blocks, _T)
         plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         planes.append(
-            np.clip(np.round(plane + 128.0), 0, 255).astype(np.int32)
+            np.clip(np.round(plane + shift), 0, maxv).astype(np.int32)
         )
-    return _planes_to_rgb(planes, h, w, comps, hmax, vmax)
+    return _planes_to_rgb(planes, h, w, comps, hmax, vmax, prec)
 
 
 # ---------------------------------------------------------------------------
@@ -633,13 +657,19 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def _compute_coefs(planes, qtable, sampling):
+def _compute_coefs(planes, qtable, sampling, prec=8):
     """Shared writer front half: validate, pad to MCU multiples,
     box-average-downsample chroma, forward-DCT + quantize + zigzag
     every block (vectorized). Returns
     (h, w, n, hs, vs, q, coefs, factors, mcw, mch) with ``coefs[ci]``
-    an (bh, bw, 64) int64 zigzag-order array."""
-    planes = [np.asarray(p, dtype=np.uint8) for p in planes]
+    an (bh, bw, 64) int64 zigzag-order array. ``prec`` sets the sample
+    precision: 8 (uint8, level shift 128) or 12 (uint16 0..4095, level
+    shift 2048 — grayscale only, enforced by the caller)."""
+    dt = np.uint8 if prec == 8 else np.uint16
+    maxv, shift = (1 << prec) - 1, float(1 << (prec - 1))
+    planes = [np.asarray(p, dtype=dt) for p in planes]
+    if prec != 8 and any(int(p.max(initial=0)) > maxv for p in planes):
+        raise ValueError(f"{prec}-bit samples must be in 0..{maxv}")
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 planes required")
     h, w = planes[0].shape
@@ -667,7 +697,7 @@ def _compute_coefs(planes, qtable, sampling):
             sub = p.astype(np.float64).reshape(
                 ph // vs, vs, pw // hs, hs
             ).mean(axis=(1, 3))
-            comp_planes.append(np.clip(np.round(sub), 0, 255).astype(np.uint8))
+            comp_planes.append(np.clip(np.round(sub), 0, maxv).astype(dt))
     factors = [(hs, vs)] + [(1, 1)] * (len(planes) - 1)
     coefs = []
     for ci, p in enumerate(comp_planes):
@@ -675,7 +705,7 @@ def _compute_coefs(planes, qtable, sampling):
         bh, bw = mch * fv, mcw * fh
         blocks = (
             p.astype(np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-            - 128.0
+            - shift
         )
         f = np.einsum("ij,mnjk,kl->mnil", _T, blocks, _T.T)
         zz = np.round(f.reshape(bh, bw, 64)[:, :, ZIGZAG] / q).astype(np.int64)
@@ -683,11 +713,21 @@ def _compute_coefs(planes, qtable, sampling):
     return h, w, len(planes), hs, vs, q, coefs, factors, mcw, mch
 
 
-def _headers(sof_marker, h, w, n, hs, vs, q):
+def _headers(sof_marker, h, w, n, hs, vs, q, prec=8):
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    if prec == 8:
+        out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+        dc_bits, dc_vals = DC_LUM_BITS, DC_LUM_VALS
+    else:  # Pq=1: 16-bit quant entries (required when any value > 255,
+        # and legal for 12-bit frames generally — T.81 B.2.4.1)
+        out += _seg(
+            0xDB,
+            bytes([0x10])
+            + b"".join(int(v).to_bytes(2, "big") for v in q),
+        )
+        dc_bits, dc_vals = DC_LUM_BITS_12, DC_LUM_VALS_12
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([n])
     for ci in range(n):
         hv = (hs << 4) | vs if ci == 0 else 0x11
@@ -695,7 +735,7 @@ def _headers(sof_marker, h, w, n, hs, vs, q):
     out += _seg(sof_marker, sof)
     out += _seg(
         0xC4,
-        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
         + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
     )
     return out
@@ -709,7 +749,7 @@ def _sos(comp_ids, ss, se, ah, al):
     return _seg(0xDA, sos)
 
 
-def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
+def encode_jpeg(planes, qtable=None, sampling=None, precision=8) -> bytes:
     """Write a baseline sequential JFIF from 1 (grayscale) or 3 (YCbCr)
     uint8 planes of identical full-resolution shape. ``sampling=(H,V)``
     sets the LUMA sampling factors — chroma planes are box-average
@@ -718,13 +758,30 @@ def encode_jpeg(planes, qtable=None, sampling=None) -> bytes:
     share the Annex K luminance huffman tables and one quantization
     table (default all-ones — lossless for integer-DCT inputs such as
     constant blocks; with MCU-constant chroma the subsampled pipeline
-    is lossless too, the certification contract)."""
+    is lossless too, the certification contract).
+
+    ``precision=12`` writes an EXTENDED sequential (SOF1) grayscale
+    frame from one uint16 plane of 0..4095 samples: level shift 2048,
+    16-bit DQT entries (Pq=1), and the Annex-K DC table canonically
+    extended to SSSS 0..15 (``DC_LUM_BITS_12``). Baseline SOF0 is
+    8-bit-only by definition (T.81 B.2.2), hence the marker switch."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12 and len(planes) != 1:
+        raise NotImplementedError(
+            "12-bit writing is grayscale-only (matches the decoder seam)"
+        )
     h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
-        planes, qtable, sampling
+        planes, qtable, sampling, precision
     )
-    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    if precision == 8:
+        dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    else:
+        dc_codes = _canonical_codes(DC_LUM_BITS_12, DC_LUM_VALS_12)
     ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-    out = _headers(0xC0, h, w, n, hs, vs, q)
+    out = _headers(
+        0xC0 if precision == 8 else 0xC1, h, w, n, hs, vs, q, precision
+    )
     out += _sos(list(range(1, n + 1)), 0, 63, 0, 0)
     wtr = _BitWriter()
     pred = [0] * n
@@ -932,6 +989,11 @@ def _encode_block(wtr, zz, pred, ci, dc_codes, ac_codes):
             wtr.put(code, ln)
             run -= 16
         s = abs(v).bit_length()
+        if s > 10:  # 12-bit ACs can reach SSSS 14; Annex K stops at 10
+            raise NotImplementedError(
+                f"AC coefficient {v} needs SSSS {s} — beyond the Annex-K "
+                f"AC table (max 10); quantize harder or keep ACs small"
+            )
         code, ln = ac_codes[(run << 4) | s]
         wtr.put(code, ln)
         wtr.put(v if v > 0 else v + (1 << s) - 1, s)

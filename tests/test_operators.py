@@ -484,6 +484,72 @@ def test_jpeg_subsampled_roundtrip_exact():
     assert np.abs(got[:, :, 0].astype(int) - y.astype(int)).max() <= 2
 
 
+def test_jpeg_12bit_grayscale_roundtrip():
+    """Round-6 seam closure: 12-bit extended sequential (SOF1)
+    grayscale. Constant 8x8 blocks spanning the FULL 0..4095 range
+    (DC diffs up to |32760| exercise the extended table's SSSS 12-15
+    categories) round-trip bit-exactly with the all-ones quant table;
+    the decoder returns uint16; the extended DC table is canonically
+    valid with the all-ones code unassigned; illegal combos raise."""
+    import numpy as np
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    # extended-table hygiene: Kraft sum < 1 (all-ones code reserved),
+    # 16 symbols, and a prefix-free canonical assignment
+    codes = jc._canonical_codes(jc.DC_LUM_BITS_12, jc.DC_LUM_VALS_12)
+    assert sorted(codes) == list(range(16))
+    assert sum(2.0 ** -ln for _, ln in codes.values()) < 1.0
+    assert len({(c, ln) for c, ln in codes.values()}) == 16
+
+    # 0 -> 4095 adjacent blocks: max-magnitude DC swings both ways
+    blocks = np.array([[0, 4095, 0, 4095], [2048, 1, 4094, 2], [7, 3500, 12, 600]],
+                      dtype=np.uint16)
+    v = np.kron(blocks, np.ones((8, 8), dtype=np.uint16))
+    img = jc.decode_jpeg(jc.encode_jpeg([v], precision=12))
+    assert img.dtype == np.uint16
+    assert img.shape == (24, 32, 3)
+    assert (img == v[:, :, None]).all()
+
+    # general 12-bit content: quant=1 keeps rounding error tiny, but
+    # big ACs exceed Annex-K SSSS 10 -> typed seam; a coarse quant
+    # table brings them in range and decodes within quantization error
+    yy, xx = np.mgrid[0:24, 0:32]
+    g = ((xx * 51 + yy * 77) % 4096).astype(np.uint16)
+    with pytest.raises(NotImplementedError, match="SSSS"):
+        jc.encode_jpeg([g], precision=12)
+    qt = np.full(64, 16, dtype=np.int64)
+    got = jc.decode_jpeg(jc.encode_jpeg([g], qtable=qt, precision=12))[:, :, 0]
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 8 * 16
+
+    # seams: 12-bit color write unsupported; SOF0 must be 8-bit;
+    # 10-bit precision stays a typed seam; samples must fit 12 bits
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        jc.encode_jpeg([v, v, v], precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        jc.encode_jpeg([v], precision=10)
+    with pytest.raises(ValueError, match="0..4095"):
+        jc.encode_jpeg([np.full((8, 8), 5000, dtype=np.uint16)], precision=12)
+    sof12_base = bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="8-bit only"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC0, sof12_base))
+    sof10 = bytes([10]) + sof12_base[1:]
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC1, sof10))
+    sof12_color = bytes([12, 0, 8, 0, 8, 3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC1, sof12_color))
+
+    # 8-bit frames are also legal under SOF1 (extended sequential):
+    # same bytes as SOF0 apart from the marker must decode identically
+    v8 = (blocks % 256).astype(np.uint8)
+    y8 = np.kron(v8, np.ones((8, 8), dtype=np.uint8))
+    seq = jc.encode_jpeg([y8])
+    as_sof1 = seq.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert (jc.decode_jpeg(as_sof1) == jc.decode_jpeg(seq)).all()
+
+
 def test_jpeg_progressive_and_multiscan():
     """Round-6 seam closures: progressive (SOF2) decode — spectral
     selection + successive approximation (DC/AC first + refinement
