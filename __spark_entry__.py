@@ -1665,15 +1665,21 @@ def q_multimodal_real_decode(spark, sf_dir):
     The 16 PNG ids rotate through five format variants (id % 5):
     plain 8-bit RGB, Adam7-interlaced, 16-bit (samples gradient*257,
     high-byte reduction exact), palette (color type 3) and grey+alpha
-    — so one query certifies every decode path in png_codec.py.
-    Projected as per-channel integer pixel SUMS, so the DuckDB twin
-    recomputing the patterns must match exactly. This is pixels
-    actually decoded from real image bytes, not the byte-statistics
-    stub (sf-independent by design: fixed 16 images per format)."""
+    — so one query certifies every decode path in png_codec.py. Eight
+    more JPEG payloads (media_id 100..107) are **12-bit SOF1
+    grayscale** (level shift 2048, 16-bit DQT, extended DC huffman
+    table, uint16 decode) — constant blocks valued mod 4096, still
+    integer-exact. Projected as per-channel integer pixel SUMS, so the
+    DuckDB twin recomputing the patterns must match exactly. This is
+    pixels actually decoded from real image bytes, not the
+    byte-statistics stub (sf-independent by design: fixed id sets)."""
     ppm = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
     jpg = multimodal.synthetic_jpeg_media(spark, 16, width=32, height=24)
+    j12 = multimodal.synthetic_jpeg12_media(spark, 8, width=32, height=24)
     png = multimodal.synthetic_png_media(spark, 16, width=32, height=24)
-    return multimodal.image_channel_sums(ppm.unionByName(jpg).unionByName(png))
+    return multimodal.image_channel_sums(
+        ppm.unionByName(jpg).unionByName(j12).unionByName(png)
+    )
 
 
 # JPEG rows: gray value per 8x8 block is (id*11 + bx*7 + by*13) % 256;
@@ -1724,6 +1730,15 @@ SELECT media_id, 'jpeg' AS fmt,
            + 1.772 * (((media_id * 17 + 40) % 256) - 128))))) AS BIGINT) AS b_sum
 FROM ids, blocks
 WHERE media_id % 4 = 3
+GROUP BY media_id
+UNION ALL
+-- media_id 100..107: 12-bit SOF1 grayscale, block value
+-- (id*97 + bx*31 + by*57) % 4096, uint16 decode -> r=g=b
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(sum(64 * ((media_id * 97 + bx * 31 + by * 57) % 4096)) AS BIGINT) AS r_sum,
+       CAST(sum(64 * ((media_id * 97 + bx * 31 + by * 57) % 4096)) AS BIGINT) AS g_sum,
+       CAST(sum(64 * ((media_id * 97 + bx * 31 + by * 57) % 4096)) AS BIGINT) AS b_sum
+FROM (SELECT unnest(generate_series(100, 107)) AS media_id) ids12, blocks
 GROUP BY media_id
 UNION ALL
 -- PNG ids % 5 in (0,1,2): the same RGB gradient emitted as plain

@@ -210,17 +210,18 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
     """Stub seam for codecs the container can't decode (H.264/HEVC
-    video essence, arithmetic-coded/12-bit/hierarchical JPEG). PPM
+    video essence, arithmetic-coded/hierarchical/lossless JPEG). PPM
     images, huffman JPEG (sequential + progressive, incl. 4:2:0/4:2:2
-    subsampling and multi-scan), PNG (all color types, depths and both
-    interlace methods), PCM WAV audio and MP4 containers carrying
-    ``'raw '`` RGB video / PCM audio decode for real — see
-    :func:`decode_media` / :func:`resize_ppm_images` /
+    subsampling, multi-scan and 12-bit SOF1 grayscale), PNG (all color
+    types, depths and both interlace methods), PCM WAV audio and MP4
+    containers carrying ``'raw '`` RGB video / PCM audio decode for
+    real — see :func:`decode_media` / :func:`resize_ppm_images` /
     :func:`image_channel_sums` / :func:`mp4_track_sums`."""
     raise NotImplementedError(
         "entropy-coded video essence (H.264/HEVC) and arithmetic-coded/"
-        "12-bit JPEG are not available in this environment; PPM, JPEG, "
-        "PNG, WAV and raw-video/PCM MP4 payloads decode for real via "
+        "hierarchical/lossless JPEG are not available in this "
+        "environment; PPM, JPEG (incl. 12-bit grayscale), PNG, WAV and "
+        "raw-video/PCM MP4 payloads decode for real via "
         "decode_media()/image_channel_sums()/mp4_track_sums()"
     )
 
@@ -641,6 +642,38 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
                     neutral = np.full_like(y, 128)
                     payload = enc([y, neutral, neutral])
                 rows.append((int(mid), "image", payload, width, height, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg12_media(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Deterministic REAL **12-bit** (SOF1 extended sequential)
+    grayscale JPEG payloads: constant 8x8 blocks valued
+    ``(mid*97 + bx*31 + by*57) % 4096`` with the all-ones quant table —
+    the same integer-oracle certification trick as
+    :func:`synthetic_jpeg_media`, but through the 12-bit pipeline
+    (level shift 2048, 16-bit DQT, extended DC table, uint16 decode).
+    ``media_id`` is offset by 100 so the payloads union cleanly with
+    the 8-bit JPEG set in one certification query."""
+    if width % 8 or height % 8:
+        raise ValueError("certification payloads need multiple-of-8 dims")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            by_, bx_ = np.mgrid[0 : height // 8, 0 : width // 8]
+            for mid in pdf["id"]:
+                mid = int(mid) + 100
+                v = (mid * 97 + bx_ * 31 + by_ * 57) % 4096
+                y = np.kron(v, np.ones((8, 8), dtype=np.uint16)).astype(np.uint16)
+                payload = encode_jpeg([y], precision=12)
+                rows.append((mid, "image", payload, width, height, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])
 
