@@ -864,11 +864,23 @@ def state_diff(
         # per-column md5s concatenated (fixed width): unambiguous — a
         # separator/sentinel scheme over raw values lets adjacent
         # columns shift content across the boundary ('a\x01b','c' vs
-        # 'a','b\x01c') and classify a real update as unchanged
+        # 'a','b\x01c') and classify a real update as unchanged.
+        # BINARY columns hash their bytes directly: cast("string")
+        # decodes as UTF-8 with replacement chars, so two different
+        # non-UTF-8 payloads could collapse to one string and a real
+        # update would classify as unchanged.
+        types = dict(df.dtypes)
         h = F.md5(
             F.concat(
                 *[
-                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+                    F.coalesce(
+                        F.md5(
+                            F.col(c)
+                            if types.get(c) == "binary"
+                            else F.col(c).cast("string")
+                        ),
+                        F.lit("-"),
+                    )
                     for c in payload
                 ]
             )

@@ -52,10 +52,17 @@ Scale design (mirrors :func:`~..lake.merge.table_changes` exactly):
 
 Remaining v1 seams (typed errors at PLAN time, never silent
 wrongness): payload/key column types outside the xxhash64 twin's
-surface (date/decimal/binary/float32/...) are rejected when the stream
-is planned, and a caller-supplied ``.schema(...)`` must match the
-source schema exactly (a reordered payload would silently change the
-equal-LSN tie-break hash order).
+surface — since r6 that surface includes float, date, binary,
+``decimal(p<=18)`` and ``timestamp_ntz`` alongside the original
+string/int/long/bool/timestamp/double, so what's left is
+wide decimals (p>18, Spark hashes the twos-complement byte array),
+arrays/structs/maps — rejected when the stream is planned; and a
+caller-supplied ``.schema(...)`` must match the source schema exactly
+(a reordered payload would silently change the equal-LSN tie-break
+hash order). Non-UTF-8 BINARY payloads diff correctly in both planes:
+the batch ``state_diff`` hashes binary columns natively (a
+``cast('string')`` comparison would collapse distinct non-UTF-8
+payloads to one replacement-char string).
 
 Reference analog: the reference's consumers re-read whole Postgres
 tables after every load (README.md:247-260); this streams only the
@@ -159,8 +166,8 @@ def _hash_bytes(data: bytes, seed: int) -> int:
 
 # The payload/key column types the executor path supports end to end
 # (tie-break hash twin + vectorized diff + arrow output). Enforced at
-# PLAN time by _check_supported — a date/decimal/binary/float column
-# must fail at stream start, not mid-batch on the first equal-LSN tie.
+# PLAN time by _check_supported — an unsupported column must fail at
+# stream start, not mid-batch on the first equal-LSN tie.
 SUPPORTED_TYPES = frozenset(
     {
         "string",
@@ -174,9 +181,26 @@ SUPPORTED_TYPES = frozenset(
         "tinyint",
         "boolean",
         "timestamp",
+        "timestamp_ntz",
         "double",
+        "float",
+        "date",
+        "binary",
     }
 )
+
+_DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _type_supported(t: str) -> bool:
+    """Whitelist predicate over Spark simpleString type names.
+    ``decimal(p,s)`` is supported for p <= 18 — Spark hashes those as
+    their unscaled LONG; wider decimals hash their twos-complement
+    byte array, a path we keep as a seam."""
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return int(m.group(1)) <= 18
+    return t in SUPPORTED_TYPES
 
 
 def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
@@ -191,7 +215,7 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
 
     h = seed
     for v, t in zip(values, dtypes):
-        if v is None or v is pd.NA or (v != v and t != "double"):
+        if v is None or v is pd.NA or (v != v and t not in ("double", "float")):
             continue
         if t == "string":
             h = _hash_bytes(str(v).encode("utf-8"), h)
@@ -207,6 +231,9 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
             if ts.tzinfo is None:
                 ts = ts.tz_localize("UTC")
             h = _hash_long(int(ts.value // 1000) & _M, h)
+        elif t == "timestamp_ntz":
+            # same micros long, but the naive wall-clock IS the value
+            h = _hash_long(int(pd.Timestamp(v).value // 1000) & _M, h)
         elif t == "double":
             import struct as _struct
 
@@ -217,6 +244,30 @@ def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
                 h = _hash_long(
                     int.from_bytes(_struct.pack("<d", d), "little"), h
                 )
+        elif t == "float":
+            import struct as _struct
+
+            f = float(v)
+            if f != f:  # Float.floatToIntBits collapses every NaN
+                h = _hash_int(0x7FC00000, h)
+            else:
+                f = 0.0 if f == 0.0 else f  # -0.0f normalizes
+                h = _hash_int(
+                    int.from_bytes(_struct.pack("<f", f), "little"), h
+                )
+        elif t == "date":
+            # Spark hashes dates as their days-since-epoch INT
+            days = (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
+            h = _hash_int(days & 0xFFFFFFFF, h)
+        elif t == "binary":
+            h = _hash_bytes(bytes(v), h)
+        elif _DECIMAL_RE.match(t):
+            # precision <= 18 (enforced at plan time): unscaled LONG
+            s = int(_DECIMAL_RE.match(t).group(2))
+            from decimal import Decimal
+
+            unscaled = int(Decimal(v).scaleb(s).to_integral_value())
+            h = _hash_long(unscaled & _M, h)
         else:
             raise NotImplementedError(f"xxhash64 twin: unsupported type {t}")
     return h - (1 << 64) if h >= 1 << 63 else h
@@ -590,13 +641,14 @@ def _check_supported(root: str, snap: Snapshot) -> None:
         f"{f.name}:{f.dataType.simpleString()}"
         for f in snap.schema.fields
         if f.name not in ("_op", "_lsn", "_del_lsn", "_pu")
-        and f.dataType.simpleString() not in SUPPORTED_TYPES
+        and not _type_supported(f.dataType.simpleString())
     ]
     if bad:
         raise NotImplementedError(
-            f"lake_cdf v1 supports column types {sorted(SUPPORTED_TYPES)}; "
-            f"table {root} carries unsupported column(s) {bad} — use "
-            f"table_changes()/ChangeFeedConsumer for this table"
+            f"lake_cdf v1 supports column types {sorted(SUPPORTED_TYPES)} "
+            f"plus decimal(p<=18,s); table {root} carries unsupported "
+            f"column(s) {bad} — use table_changes()/ChangeFeedConsumer "
+            f"for this table"
         )
 
 

@@ -140,6 +140,34 @@ def test_python_xxhash64_matches_spark(spark):
     for r, g in zip(rows2, got2):
         assert spark_xxhash64(list(r), ["timestamp", "double"]) == g["h"], r
 
+    # r6 surface widening: float (incl. -0.0f/NaN), date (pre-epoch),
+    # binary (block-boundary lengths, non-UTF-8), decimal(p<=18),
+    # timestamp_ntz
+    import decimal as _dec
+
+    rows3 = [
+        (1.5, datetime.date(2024, 5, 1), b"", _dec.Decimal("1.50"),
+         datetime.datetime(2024, 5, 1, 12, 30, 15, 123456)),
+        (-0.0, datetime.date(1969, 6, 30), b"\xff\xfe\x00raw", _dec.Decimal("-0.01"),
+         datetime.datetime(1969, 12, 31, 23, 59, 59)),
+        (float("nan"), datetime.date(1970, 1, 1), b"x" * 32, _dec.Decimal("0.00"),
+         None),
+        (0.0, None, b"y" * 33, _dec.Decimal("12345678901234.56"), None),
+        (3.25, datetime.date(2100, 1, 2), None, None, None),
+        (None, None, b"z" * 7, _dec.Decimal("-99999999999999.99"), None),
+    ]
+    schema3 = T.StructType([
+        T.StructField("f", T.FloatType()), T.StructField("dt", T.DateType()),
+        T.StructField("bin", T.BinaryType()),
+        T.StructField("dec", T.DecimalType(16, 2)),
+        T.StructField("tn", T.TimestampNTZType()),
+    ])
+    got3 = spark.createDataFrame(rows3, schema3).select(
+        F.xxhash64("f", "dt", "bin", "dec", "tn").alias("h")).collect()
+    types3 = ["float", "date", "binary", "decimal(16,2)", "timestamp_ntz"]
+    for r, g in zip(rows3, got3):
+        assert spark_xxhash64(list(r), types3) == g["h"], r
+
 
 def test_pandas_resolve_matches_engine_on_equal_lsn_ties(spark):
     """Equal-LSN rows for one key: the engine breaks the tie by
@@ -399,6 +427,81 @@ def test_nan_vs_null_doubles_match_batch_cdf(spark, tmp_path):
     assert got[("U", "c")] is None and want[("U", "c")] is None
 
 
+def test_exotic_payload_types_stream_matches_batch_cdf(spark, tmp_path):
+    """r6 type-surface widening, end to end: a table whose payload mixes
+    float / date / binary / decimal(16,2) / timestamp_ntz streams
+    bit-equal to table_changes — including the adversarial cases that
+    motivated the per-type code: non-UTF-8 binary pairs that collapse
+    under cast('string') (b'\\xff' vs b'\\xfe' must classify as a
+    CHANGE in both planes), -0.0f vs 0.0f (a change), NaN->NaN float
+    (unchanged), and an equal-LSN tie whose winner is picked by the
+    xxhash64 twin ACROSS these types."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    root = str(tmp_path / "exotic")
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("f", T.FloatType(), True),
+        T.StructField("dt", T.DateType(), True),
+        T.StructField("bin", T.BinaryType(), True),
+        T.StructField("dec", T.DecimalType(16, 2), True),
+        T.StructField("tn", T.TimestampNTZType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, root, schema=schema, key_cols=["id"],
+                         bucket_count=2)
+    ev_schema = T.StructType(
+        [T.StructField("_lsn", T.LongType(), False),
+         T.StructField("_op", T.StringType(), False)] + list(schema.fields[:6])
+    )
+    import decimal as _dec
+
+    d0, d1 = datetime.date(2024, 5, 1), datetime.date(1969, 6, 30)
+    n0 = datetime.datetime(2024, 5, 1, 12, 30, 15, 123456)
+    nan = float("nan")
+    merge_into(t, spark.createDataFrame([
+        (1, "I", "a", nan, d0, b"\xff\xfe\x00", _dec.Decimal("1.50"), n0),
+        (2, "I", "b", -0.0, d1, b"x" * 33, _dec.Decimal("-0.01"), None),
+        (3, "I", "c", 1.5, None, None, None, n0),
+        (4, "I", "d", 2.5, d0, b"keep", _dec.Decimal("7.00"), n0),
+    ], ev_schema), "b1")
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame([
+        (5, "U", "a", nan, d0, b"\xfe\xfe\x00", _dec.Decimal("1.50"), n0),
+        # ^ ONLY the binary differs, and only in non-UTF-8 bytes
+        (6, "U", "b", 0.0, d1, b"x" * 33, _dec.Decimal("-0.01"), None),
+        # ^ ONLY -0.0f -> 0.0f
+        (7, "U", "c", 1.5, d1, None, _dec.Decimal("0.00"), None),
+        (8, "U", "d", 2.5, d0, b"keep", _dec.Decimal("7.00"), n0),
+        # ^ byte-identical re-assert: NOT a change
+        # equal-LSN tie on a fresh key: winner = max xxhash64 tie hash
+        (9, "I", "e", 1.0, d0, b"tie-A", _dec.Decimal("1.00"), n0),
+        (9, "I", "e", 2.0, d1, b"tie-B", _dec.Decimal("2.00"), None),
+    ], ev_schema), "b2")
+    v2 = t.current_version()
+
+    cols = ["_change", "id", "f", "dt", "bin", "dec", "tn", "_lsn"]
+    rd = _CdfStreamReader({"path": root})
+    for sv, ev_ in [(v1, v2), (0, v2)]:
+        got = _reader_rows(rd, rd.partitions({"version": sv}, {"version": ev_}))
+        want = {tuple(r) for r in
+                table_changes(t, sv, ev_).select(*cols).collect()}
+        # NaN != NaN breaks set equality — compare via repr-normalized
+        norm = lambda rows: {tuple("NaN" if isinstance(v, float)
+                                   and math.isnan(v) else v for v in r)
+                             for r in rows}
+        assert norm(got) == norm(want), f"span {sv}->{ev_}"
+    span = _reader_rows(rd, rd.partitions({"version": v1}, {"version": v2}))
+    changed = {r[1] for r in span}
+    assert changed == {"a", "b", "c", "e"}  # d is byte-identical: no row
+
+
 def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     """Remaining v1 seams fail at PLAN time with typed errors: payload
     types outside the xxhash64 twin's surface, unresolvable root
@@ -414,13 +517,15 @@ def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     root = str(tmp_path / "dt")
     schema = T.StructType([
         T.StructField("id", T.StringType(), False),
-        T.StructField("d", T.DateType(), True),
+        # decimal p>18 hashes its byte array in Spark — still a seam
+        # (date/float/binary/decimal(p<=18)/ntz are REAL since r6)
+        T.StructField("d", T.DecimalType(20, 2), True),
         T.StructField("_op", T.StringType(), False),
         T.StructField("_lsn", T.LongType(), False),
     ])
     LakeTable.create(spark, root, schema=schema, key_cols=["id"],
                      bucket_count=2)
-    with pytest.raises(NotImplementedError, match="d:date"):
+    with pytest.raises(NotImplementedError, match=r"d:decimal\(20,2\)"):
         _CdfStreamReader({"path": root})  # plan time, not first tie
 
     ok_root = str(tmp_path / "ok")
