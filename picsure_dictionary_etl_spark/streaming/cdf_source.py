@@ -665,6 +665,30 @@ class _CdfStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("lake_cdf requires .option('path', <table_root>)")
         self.start_version = int(options.get("startversion", 0))
+        # catch-up rate limit: cap how many table VERSIONS one
+        # micro-batch may span (0 = unbounded). A stream resuming after
+        # a long gap otherwise plans a single batch over every pending
+        # version — unbounded executor tasks and no incremental
+        # checkpoints. The cap is tracked against the last offset THIS
+        # reader returned; after a query restart the engine's first
+        # call is ALWAYS partitions(committed, committed) — a
+        # degenerate replay even when the last batch committed cleanly
+        # (traced empirically via SPARK_GRAFT_CDF_DEBUG) — which
+        # re-seeds the cursor at the checkpointed position before any
+        # pacing decision. Bounded-by-construction never
+        # under-delivers, because the cap only ever lowers the batch
+        # END, never skips versions.
+        self.max_versions = int(options.get("maxversionsperbatch", 0))
+        if self.max_versions < 0:
+            raise ValueError("maxversionsperbatch must be >= 0")
+        # Seeded HERE, not in initialOffset: the engine calls
+        # latestOffset() BEFORE initialOffset() on a fresh query
+        # (observed call order of the Spark 4 python runner), and a
+        # restarted query runs in a fresh process that first replays
+        # partitions(committed_start, committed_end) — which
+        # re-raises the cursor via the monotone update below before
+        # any pacing decision is made.
+        self._last_end: int | None = self.start_version
         # columns are PINNED at stream start (the Structured Streaming
         # contract: a source's schema is fixed for the query's
         # lifetime). An additive evolve() mid-stream keeps streaming the
@@ -699,14 +723,44 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.dtypes.setdefault("_op", "string")
         self.dtypes.setdefault("_lsn", "bigint")
 
+    def _dbg(self, msg):
+        """Ops tracing for the engine<->reader protocol (the runner
+        lives in a separate python process, so print() is lost): set
+        SPARK_GRAFT_CDF_DEBUG=<file> to append one line per call."""
+        f = os.environ.get("SPARK_GRAFT_CDF_DEBUG")
+        if f:
+            with open(f, "a") as fh:
+                fh.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
+
     def initialOffset(self) -> dict:
+        self._dbg(f"initialOffset -> {self.start_version}")
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self.root)}
+        cur = _current_version(self.root)
+        if self.max_versions and self._last_end is not None:
+            cur = min(cur, self._last_end + self.max_versions)
+        self._last_end = cur
+        self._dbg(f"latestOffset -> {cur}")
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
+        self._dbg(f"partitions {sv}->{ev}")
+        if ev < sv:
+            # never plan a BACKWARDS span: diffing v_hi -> v_lo would
+            # emit reverse changes as if they were forward ones. This
+            # can only arise if pacing mis-tracked a restart position;
+            # failing loudly beats silent wrongness.
+            raise ValueError(
+                f"lake_cdf: refusing backwards span v{sv}->v{ev} "
+                f"(pacing cursor desync? file a bug with the "
+                f"SPARK_GRAFT_CDF_DEBUG trace)"
+            )
+        # a restarted query reveals its checkpointed position here
+        # first (fresh runner process); keep the pace cursor monotone
+        if self._last_end is None or ev > self._last_end:
+            self._last_end = ev
         snap_from = _load_snapshot(self.root, sv)
         snap_to = _load_snapshot(self.root, ev)
         _check_supported(self.root, snap_to)
