@@ -797,6 +797,16 @@ def table_changes(
     for D. Downstream consumers chain incremental pipelines off this
     instead of re-reading the table.
 
+    D rows carry the DELETED row's last live ``_lsn`` (the preimage,
+    Delta-style) — the tombstone's own LSN is not in the live state.
+    Consequence for consumers folding the feed into a materialized
+    state by max-LSN per key: "update at LSN L, then delete" across
+    two spans emits a U and a D both stamped L, so equal-``_lsn`` ties
+    must resolve in favor of D. That rule is always correct here: the
+    watermark guard means no later event can carry an LSN ≤ a row it
+    follows, so an equal-LSN D is necessarily the logically-later
+    change. (Exercised end to end by BENCH/stream_soak.py.)
+
     Plan shape — O(change), not O(table): data files are immutable and
     keys can never move buckets (bucket id is a pure hash of the
     bucket_by columns and bucket_count is commit-invariant), so a

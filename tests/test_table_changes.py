@@ -72,6 +72,51 @@ def test_table_changes_classification(spark, tmp_path):
     assert first.count() == 3
 
 
+def test_delete_rows_carry_preimage_lsn_and_fold_rule(spark, tmp_path):
+    """The documented D-row contract: a delete change carries the
+    DELETED row's last live _lsn (the preimage), not the tombstone's
+    own LSN — so "update at L, then delete" across two spans emits a U
+    and a D both stamped L, and a consumer folding the feed by max-LSN
+    per key must break equal-LSN ties in favor of D (always correct
+    under the watermark guard; see table_changes docstring and
+    BENCH/stream_soak.py's end-to-end reconstruction)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"],
+        bucket_count=2,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, change_event_schema())
+
+    merge_into(t, ev([(1, "I", "a", 0, "user", "v1", None, TS)]), "b1")
+    merge_into(t, ev([(7, "U", "a", 0, "user", "v2", None, TS)]), "b2")
+    v2 = t.current().version
+    merge_into(t, ev([(9, "D", "a", 0, None, None, None, None)]), "b3")
+    v3 = t.current().version
+
+    # span (v2, v3): the D row is stamped with the preimage LSN 7 —
+    # the last LIVE version's LSN — not the tombstone's 9
+    (d_row,) = table_changes(t, v2, v3).collect()
+    assert d_row["_change"] == "D" and d_row["_lsn"] == 7
+
+    # span-wise fold across (0,v2) + (v2,v3): U@7 and D@7 tie on _lsn;
+    # D-wins reproduces the (empty) final state, naive max-LSN may not
+    feed = table_changes(t, 0, v2).unionByName(table_changes(t, v2, v3))
+    rows = sorted(feed.collect(), key=lambda r: (r["_lsn"], r["_change"] == "D"))
+    assert [(r["_change"], r["_lsn"]) for r in rows] == [("I", 7), ("D", 7)]
+    live = {}
+    for r in rows:  # ordered so the equal-LSN D applies last
+        if r["_change"] == "D":
+            live.pop((r["conv_id"], r["turn_idx"]), None)
+        else:
+            live[(r["conv_id"], r["turn_idx"])] = r["text"]
+    assert live == {}
+
+
 def test_table_changes_property_hypothesis(spark, tmp_path):
     """Property: for ANY two-chunk event sequence, table_changes(v1, v2)
     equals the diff of the sequential pandas oracle states."""
