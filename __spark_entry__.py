@@ -401,6 +401,82 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL
 """
 
 
+def q_cdf_fold_materialize(spark, sf_dir):
+    """Consumer-side CDF fold (lake.merge.materialize_feed — the
+    inverse of table_changes): reconstruct final live state from a
+    multi-span change feed, exercising the documented D-preimage rule
+    — a delete change row is stamped with the DELETED row's last live
+    _lsn, so update-then-delete emits U and D at the SAME _lsn and the
+    fold must break equal-LSN ties in favor of D. Feed synthesized
+    deterministically from events: every key's first event is its I
+    span; keys with >=2 events add a U span at max LSN; keys whose
+    LAST event is an 'error' add a D stamped with the preimage LSN
+    (== the U's LSN when one exists — real ties at sf0.01)."""
+    from picsure_dictionary_etl_spark.lake.merge import materialize_feed
+
+    ev = _events_as_cdc(spark, sf_dir)
+    agg = ev.groupBy("user_id", "turn_idx").agg(
+        F.min("lsn").alias("first_lsn"),
+        F.max("lsn").alias("last_lsn"),
+        F.min_by("value", "lsn").alias("first_value"),
+        F.max_by("value", "lsn").alias("last_value"),
+        F.max_by("event_type", "lsn").alias("last_type"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    i_rows = agg.select(
+        "user_id", "turn_idx", F.lit("I").alias("_change"),
+        F.col("first_value").alias("value"), F.col("first_lsn").alias("_lsn"),
+    )
+    u_rows = agg.filter(F.col("cnt") >= 2).select(
+        "user_id", "turn_idx", F.lit("U").alias("_change"),
+        F.col("last_value").alias("value"), F.col("last_lsn").alias("_lsn"),
+    )
+    d_rows = agg.filter(F.col("last_type") == "error").select(
+        "user_id", "turn_idx", F.lit("D").alias("_change"),
+        F.lit(None).cast("string").alias("value"),
+        F.col("last_lsn").alias("_lsn"),
+    )
+    feed = i_rows.unionByName(u_rows).unionByName(d_rows)
+    out = materialize_feed(feed, ["user_id", "turn_idx"], ["value"])
+    return out.select(
+        "user_id", "turn_idx",
+        F.col("value").alias("last_value"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+SQL_CDF_FOLD_MATERIALIZE = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         event_type, value
+  FROM events
+), agg AS (
+  SELECT user_id, turn_idx,
+         min(lsn) AS first_lsn, max(lsn) AS last_lsn,
+         arg_min(value, lsn) AS first_value,
+         arg_max(value, lsn) AS last_value,
+         arg_max(event_type, lsn) AS last_type,
+         count(*) AS cnt
+  FROM ev GROUP BY user_id, turn_idx
+), feed AS (
+  SELECT user_id, turn_idx, 'I' AS c, first_value AS v, first_lsn AS lsn
+  FROM agg
+  UNION ALL
+  SELECT user_id, turn_idx, 'U', last_value, last_lsn FROM agg WHERE cnt >= 2
+  UNION ALL
+  SELECT user_id, turn_idx, 'D', NULL, last_lsn FROM agg
+  WHERE last_type = 'error'
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx
+             ORDER BY lsn DESC, (c = 'D') DESC) AS rn
+  FROM feed
+)
+SELECT user_id, turn_idx, v AS last_value, lsn AS last_lsn
+FROM win WHERE rn = 1 AND c <> 'D'
+"""
+
+
 def q_partial_update_blank_preserve(spark, sf_dir):
     """D6 blank-preserving reduce as a driver query: synthesized blank
     and null event_type fields (deterministic on event_id) are both
@@ -1873,14 +1949,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict (57 entries total). Rotation policy (r6,
+    # prefix of this dict (58 entries total). Rotation policy (r6,
     # same rule as r5): the queries whose last driver row is OLDEST
     # lead the prefix — the six trivials whose evidence is from r4
     # (token_counts, sorted_export, group_size_max, depth_layer_counts,
     # canonical_json_hash, doc_fingerprint) re-enter slots 0-5 — the
-    # new multimodal_real_decode_video (MP4) joins the prefix, and
-    # the tail (indices 50-56) holds seven simple queries freshly
-    # certified in r5 (minhash_lsh_candidates, distinct_sorted,
+    # new multimodal_real_decode_video (MP4) and cdf_fold_materialize
+    # (no evidence yet) join the prefix, and the tail (indices 50-57)
+    # holds eight simple queries freshly certified in r5
+    # (window_latest_k, minhash_lsh_candidates, distinct_sorted,
     # count_per_key, eav_pivot, eav_unpivot, first_wins_pick,
     # study_filter), so every entry's driver evidence stays <=2
     # rounds old and the bounded prefix never ships an unverified
@@ -1909,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_update_mixed": q_partial_update_mixed,
         "partial_update_blank_preserve": q_partial_update_blank_preserve,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdf_fold_materialize": q_cdf_fold_materialize,
         "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
@@ -1921,7 +1999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_detection_hash": q_change_detection_hash,
         "multiway_join_revenue": q_multiway_join_revenue,
         "key_filtered_join": q_key_filtered_join,
-        "window_latest_k": q_window_latest_k,
         "windowed_event_counts": q_windowed_event_counts,
         "regex_extract_families": q_regex_extract_families,
         "parent_backfill": q_parent_backfill,
@@ -1942,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- minhash_lsh_candidates moved here when the new
         # --- multimodal_real_decode_video entered the prefix (r6);
         # --- its r5 row stays within the 2-round evidence budget.
+        "window_latest_k": q_window_latest_k,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "distinct_sorted": q_distinct_sorted,
         "count_per_key": q_count_per_key,
@@ -1966,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "partial_update_mixed": SQL_PARTIAL_UPDATE_MIXED,
         "partial_update_blank_preserve": SQL_PARTIAL_UPDATE_BLANK_PRESERVE,
         "cdc_change_feed": SQL_CDC_CHANGE_FEED,
+        "cdf_fold_materialize": SQL_CDF_FOLD_MATERIALIZE,
         "embedding_near_dups_multiprobe": SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,

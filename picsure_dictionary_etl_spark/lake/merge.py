@@ -922,6 +922,39 @@ def state_diff(
     )
 
 
+def materialize_feed(
+    feed: DataFrame, keys: list[str], payload: list[str]
+) -> DataFrame:
+    """Fold a (possibly multi-span) change feed back into live state —
+    the consumer-side inverse of :func:`table_changes`: per key the
+    highest-``_lsn`` change wins, with equal-``_lsn`` ties broken in
+    favor of D (the preimage rule documented on ``table_changes`` —
+    update-then-delete across spans emits U and D at the SAME LSN);
+    D winners drop the key.
+
+    Library form of the fold so downstream consumers don't hand-roll
+    the tie-break (BENCH/stream_soak.py re-derives it independently in
+    DuckDB as the soak's oracle). One hash-shaped aggregate keyed on
+    the table keys — no window, no collect; at cluster scale this is a
+    single shuffle on the same keys the table is bucketed by."""
+    is_d = (F.col("_change") == F.lit("D")).cast("int")
+    order = F.struct(F.col(LSN_COL), is_d.alias("_is_d"))
+    win = feed.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col("_change"), *[F.col(c) for c in payload], F.col(LSN_COL)),
+            order,
+        ).alias("_w")
+    )
+    return (
+        win.filter(F.col("_w._change") != F.lit("D"))
+        .select(
+            *keys,
+            *[F.col(f"_w.{c}").alias(c) for c in payload],
+            F.col(f"_w.{LSN_COL}").alias(LSN_COL),
+        )
+    )
+
+
 def iceberg_merge_sql(
     target: str,
     source: str,

@@ -117,6 +117,53 @@ def test_delete_rows_carry_preimage_lsn_and_fold_rule(spark, tmp_path):
     assert live == {}
 
 
+def test_materialize_feed_inverts_table_changes(spark, tmp_path):
+    """materialize_feed (the library fold) applied to the union of
+    span-wise feeds reproduces the table's resolved live state exactly
+    — including the equal-LSN U/D preimage tie and a re-insert after
+    delete."""
+    from picsure_dictionary_etl_spark.lake.merge import materialize_feed
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=transcript_table_schema(),
+        key_cols=TRANSCRIPT_KEY,
+        bucket_by=["conv_id"],
+        bucket_count=2,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, change_event_schema())
+
+    versions = [0]
+    for batch_id, rows in [
+        ("b1", [(1, "I", "a", 0, "user", "v1", None, TS),
+                (2, "I", "b", 0, "user", "w1", None, TS),
+                (3, "I", "c", 0, "user", "x1", None, TS)]),
+        ("b2", [(7, "U", "a", 0, "user", "v2", None, TS),
+                (8, "D", "c", 0, None, None, None, None)]),
+        ("b3", [(9, "D", "a", 0, None, None, None, None),
+                (10, "I", "c", 0, "user", "x2", None, TS)]),
+    ]:
+        merge_into(t, ev(rows), batch_id)
+        versions.append(t.current().version)
+
+    feed = None
+    for sv, ev_ in zip(versions, versions[1:]):
+        span = table_changes(t, sv, ev_)
+        feed = span if feed is None else feed.unionByName(span)
+
+    payload = ["role", "text", "tool", "ts"]
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in materialize_feed(feed, list(TRANSCRIPT_KEY), payload).collect()
+    }
+    # a: updated@7 then deleted (D stamped 7 — the tie) -> gone;
+    # b: untouched since insert; c: deleted then re-inserted@10
+    assert got == {("b", 0): "w1", ("c", 0): "x2"}
+
+
 def test_table_changes_property_hypothesis(spark, tmp_path):
     """Property: for ANY two-chunk event sequence, table_changes(v1, v2)
     equals the diff of the sequential pandas oracle states."""
