@@ -681,6 +681,21 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         if self.max_versions < 0:
             raise ValueError("maxversionsperbatch must be >= 0")
+        # byte-budget pacing (the Delta maxBytesPerTrigger analog): a
+        # version cap alone does not bound WORK — one version can touch
+        # every bucket with arbitrarily large files. The budget is
+        # estimated metadata-only from the manifests' recorded
+        # file_sizes (bytes NEWLY referenced by each version vs its
+        # parent — an upper bound on the span's write volume, a proxy
+        # for its read cost); at least one version always ships, so a
+        # single oversized commit can never stall the stream. Composes
+        # with maxversionsperbatch (tighter cap wins) — which also
+        # bounds the metadata walk itself: the version cap applies
+        # FIRST, so a far-behind stream loads at most max_versions
+        # manifests per trigger even with a generous byte budget.
+        self.max_bytes = int(options.get("maxbytesperbatch", 0))
+        if self.max_bytes < 0:
+            raise ValueError("maxbytesperbatch must be >= 0")
         # Seeded HERE, not in initialOffset: the engine calls
         # latestOffset() BEFORE initialOffset() on a fresh query
         # (observed call order of the Spark 4 python runner), and a
@@ -738,11 +753,42 @@ class _CdfStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
-        if self.max_versions and self._last_end is not None:
-            cur = min(cur, self._last_end + self.max_versions)
+        if self._last_end is not None:
+            if self.max_versions:
+                cur = min(cur, self._last_end + self.max_versions)
+            if self.max_bytes and cur > self._last_end + 1:
+                cur = self._cap_end_by_bytes(self._last_end, cur)
         self._last_end = cur
         self._dbg(f"latestOffset -> {cur}")
         return {"version": cur}
+
+    def _cap_end_by_bytes(self, start: int, cur: int) -> int:
+        """Largest end version in (start, cur] whose span stays within
+        the byte budget — walking version-pairwise manifest diffs and
+        summing the sizes of files NEWLY referenced by each step
+        (metadata-only; no data IO). The first version is always
+        admitted. Files missing from file_sizes (pre-size-tracking
+        manifests) count as 0 — the budget is an estimate, never a
+        correctness gate."""
+        prev = _load_snapshot(self.root, start)
+        total = 0
+        end = start + 1
+        for v in range(start + 1, cur + 1):
+            snap = _load_snapshot(self.root, v)
+            step = 0
+            for b, files in snap.files.items():
+                old = set(prev.files.get(b, ()))
+                step += sum(
+                    snap.file_sizes.get(f, 0) for f in files if f not in old
+                )
+            if v > start + 1 and total + step > self.max_bytes:
+                break
+            total += step
+            end = v
+            prev = snap
+            if total >= self.max_bytes:
+                break
+        return end
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])

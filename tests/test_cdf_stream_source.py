@@ -530,6 +530,65 @@ def test_max_versions_per_batch_paces_catchup(spark, tmp_path):
     assert got == want_e2e
 
 
+def test_max_bytes_per_batch_paces_by_manifest_sizes(spark, tmp_path):
+    """`.option("maxbytesperbatch", B)` bounds a micro-batch's span by
+    the manifests' recorded file sizes (metadata-only estimate of the
+    span's write volume). A 1-byte budget degrades to one version per
+    batch (the first version is always admitted — an oversized commit
+    cannot stall the stream); a huge budget spans everything; nothing
+    is lost either way."""
+    from picsure_dictionary_etl_spark.streaming.cdf_source import _CdfStreamReader
+
+    root = str(tmp_path / "bytes")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=2,
+                                      normalize=False))
+    for i in range(1, 5):
+        r.apply_batch(_ev(spark, [(i, "I", f"c{i}", 0, "user", f"v{i}", None,
+                                   TS)]), f"b{i}")
+    t = LakeTable.load(spark, root)
+    cur = t.current_version()
+    assert cur >= 4
+
+    def drive(opts):
+        rd = _CdfStreamReader({"path": root, **opts})
+        prev = int(rd.initialOffset()["version"])
+        spans, rows = [], set()
+        for _ in range(cur + 2):
+            end = int(rd.latestOffset()["version"])
+            if end == prev:
+                break
+            spans.append((prev, end))
+            rows |= _reader_rows(rd, rd.partitions(
+                {"version": prev}, {"version": end}))
+            prev = end
+        return spans, rows
+
+    spans_tiny, rows_tiny = drive({"maxbytesperbatch": "1"})
+    assert spans_tiny == [(v, v + 1) for v in range(cur)]  # 1 version/step
+
+    spans_big, rows_big = drive({"maxbytesperbatch": str(1 << 40)})
+    assert spans_big == [(0, cur)]  # budget covers everything: one span
+
+    # composition: the tighter of the two caps wins
+    spans_both, _ = drive({"maxbytesperbatch": "1",
+                           "maxversionsperbatch": "10"})
+    assert spans_both == spans_tiny
+
+    # nothing lost under either pacing; the single-span fold may
+    # collapse intermediate states, so compare against span-wise feeds
+    for spans, rows in ((spans_tiny, rows_tiny), (spans_big, rows_big)):
+        want = set()
+        for sv, ev_ in spans:
+            want |= {tuple(r) for r in
+                     table_changes(t, sv, ev_).select(*COLS).collect()}
+        assert rows == want
+
+    # the budget walk matches the manifests: version 1's new-file bytes
+    # exceed 1 byte (so the tiny budget really was the binding cap)
+    snap1 = t.snapshot(1)
+    assert sum(snap1.file_sizes.values()) > 1
+
+
 def test_exotic_payload_types_stream_matches_batch_cdf(spark, tmp_path):
     """r6 type-surface widening, end to end: a table whose payload mixes
     float / date / binary / decimal(16,2) / timestamp_ntz streams
