@@ -51,6 +51,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from picsure_dictionary_etl_spark.lake.table import (
     BUCKET_COL,
@@ -870,31 +871,42 @@ def state_diff(
     comparison — no window, no collect. The reusable half of
     :func:`table_changes` (also exposed as a driver-oracled query)."""
 
+    def digest(col, dt) -> "F.Column":
+        # one 32-char md5 per value, '-' for null (md5 hex never
+        # contains '-', so the concatenation parses unambiguously).
+        # BINARY hashes its bytes directly: cast("string") decodes as
+        # UTF-8 with replacement chars, so two different non-UTF-8
+        # payloads could collapse to one string and a real update
+        # would classify as unchanged. ARRAYS digest element-wise via
+        # one HOF fold: cast("string") renders array('a, b') and
+        # array('a','b') both as '[a, b]' — a REAL update between them
+        # would classify as unchanged (same ambiguity class as the
+        # separator scheme below). Element digests are fixed-width, so
+        # the join can't shift content across element boundaries;
+        # empty array (md5 of '') stays distinct from null array
+        # ('-'). STRUCTS digest field-wise, null struct distinct from
+        # struct-of-nulls.
+        if isinstance(dt, T.BinaryType):
+            return F.coalesce(F.md5(col), F.lit("-"))
+        if isinstance(dt, T.ArrayType):
+            folded = F.array_join(
+                F.transform(col, lambda x: digest(x, dt.elementType)), ""
+            )
+            return F.coalesce(F.md5(folded), F.lit("-"))
+        if isinstance(dt, T.StructType):
+            parts = [digest(col.getField(f.name), f.dataType) for f in dt.fields]
+            return F.when(col.isNull(), F.lit("-")).otherwise(
+                F.md5(F.concat(*parts))
+            )
+        return F.coalesce(F.md5(col.cast("string")), F.lit("-"))
+
     def hashed(df: DataFrame, side: str) -> DataFrame:
         # per-column md5s concatenated (fixed width): unambiguous — a
         # separator/sentinel scheme over raw values lets adjacent
         # columns shift content across the boundary ('a\x01b','c' vs
         # 'a','b\x01c') and classify a real update as unchanged.
-        # BINARY columns hash their bytes directly: cast("string")
-        # decodes as UTF-8 with replacement chars, so two different
-        # non-UTF-8 payloads could collapse to one string and a real
-        # update would classify as unchanged.
-        types = dict(df.dtypes)
-        h = F.md5(
-            F.concat(
-                *[
-                    F.coalesce(
-                        F.md5(
-                            F.col(c)
-                            if types.get(c) == "binary"
-                            else F.col(c).cast("string")
-                        ),
-                        F.lit("-"),
-                    )
-                    for c in payload
-                ]
-            )
-        )
+        types = {f.name: f.dataType for f in df.schema.fields}
+        h = F.md5(F.concat(*[digest(F.col(c), types[c]) for c in payload]))
         return df.select(
             *[F.col(k).alias(f"{side}_{k}") for k in keys],
             *[F.col(c).alias(f"{side}_{c}") for c in payload],

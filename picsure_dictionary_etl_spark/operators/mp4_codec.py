@@ -128,6 +128,13 @@ class Mp4Track:
     sizes: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     dts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     durations: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # presentation times: dts + ctts/trun composition offsets, shifted
+    # by the edit list (negative = trimmed pre-roll before the edit's
+    # media_time). == dts when the stream has no reordering.
+    pts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # raw elst entries (seg_dur_movie_ts, media_time, rate) — applied
+    # by parse_mp4 once the MOVIE timescale is known
+    elst: list = field(default_factory=list)
 
     @property
     def n_samples(self) -> int:
@@ -248,7 +255,8 @@ def _apply_fragments(data: bytes, moofs: List[Tuple[int, int, int]],
     """Walk every moof/traf/trun, expand per-sample offset/size/duration
     arrays (vectorized per trun) and append them to the moov tracks."""
     by_id = {tr.track_id: tr for tr in tracks}
-    acc = {tid: {"off": [], "size": [], "dur": [], "dts": [], "next_dts": 0}
+    acc = {tid: {"off": [], "size": [], "dur": [], "dts": [], "cts": [],
+                 "next_dts": 0}
            for tid in by_id}
     for moof_start, body, end in moofs:
         for t, b, e in _iter_boxes(data, body, end):
@@ -262,12 +270,14 @@ def _apply_fragments(data: bytes, moofs: List[Tuple[int, int, int]],
         size = np.concatenate(a["size"])
         dur = np.concatenate(a["dur"])
         dts = np.concatenate(a["dts"])
+        cts = np.concatenate(a["cts"])
         if size.size and int((off + size).max()) > len(data):
             raise Mp4Error("fragment sample byte range overruns the file")
         tr.offsets = np.concatenate([tr.offsets, off])
         tr.sizes = np.concatenate([tr.sizes, size])
         tr.durations = np.concatenate([tr.durations, dur])
         tr.dts = np.concatenate([tr.dts, dts])
+        tr.pts = np.concatenate([tr.pts, dts + cts])
         total = int(tr.dts[-1] + tr.durations[-1]) if tr.dts.size else 0
         tr.duration = max(tr.duration, total)
 
@@ -321,7 +331,7 @@ def _parse_traf(data: bytes, start: int, end: int, moof_start: int,
 
 def _parse_trun(data: bytes, body: int, base: int, cursor: Optional[int],
                 def_dur: int, def_size: int, acc_entry: dict) -> int:
-    _, flags = _full(data, body)
+    ver, flags = _full(data, body)
     (n,) = struct.unpack_from(">I", data, body + 4)
     off = body + 8
     if flags & _TRUN_DATA_OFFSET:
@@ -348,11 +358,12 @@ def _parse_trun(data: bytes, body: int, base: int, cursor: Optional[int],
             count=n, offset=off)
     else:
         rec = None
-    if rec is not None and "cts" in fields and np.any(rec["cts"] != 0):
-        raise NotImplementedError(
-            "trun composition (cts) offsets are not supported — raw video "
-            "has no frame reordering"
-        )
+    if rec is not None and "cts" in fields:
+        cts = rec["cts"].astype(np.int64)
+        if ver >= 1:  # trun v1: signed composition offsets
+            cts = np.where(cts >= 2**31, cts - 2**32, cts)
+    else:
+        cts = np.zeros(n, dtype=np.int64)
     if rec is not None and "dur" in fields:
         durs = rec["dur"].astype(np.int64)
     else:
@@ -375,6 +386,7 @@ def _parse_trun(data: bytes, body: int, base: int, cursor: Optional[int],
     acc_entry["size"].append(sizes)
     acc_entry["dur"].append(durs)
     acc_entry["dts"].append(dts)
+    acc_entry["cts"].append(cts)
     return int(start + sizes.sum())
 
 
@@ -387,8 +399,26 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
         track_id = struct.unpack_from(">I", data, tkhd[0] + 4 + 16)[0]
     else:
         track_id = struct.unpack_from(">I", data, tkhd[0] + 4 + 8)[0]
-    if _find(data, start, end, b"edts") is not None:
-        raise NotImplementedError("edit lists (elst) are not supported")
+    elst_entries: list = []
+    edts = _find(data, start, end, b"edts")
+    if edts is not None:
+        elst = _find(data, edts[0], edts[1], b"elst")
+        if elst is not None:
+            ver, _ = _full(data, elst[0])
+            (n_ent,) = struct.unpack_from(">I", data, elst[0] + 4)
+            off = elst[0] + 8
+            for _i in range(n_ent):
+                if ver == 1:
+                    seg_dur, media_t = struct.unpack_from(">Qq", data, off)
+                    off += 16
+                else:
+                    seg_dur, media_t = struct.unpack_from(">Ii", data, off)
+                    off += 8
+                rate_i, rate_f = struct.unpack_from(">hH", data, off)
+                off += 4
+                elst_entries.append(
+                    (int(seg_dur), int(media_t), rate_i + rate_f / 65536.0)
+                )
     mdia = _find(data, start, end, b"mdia")
     if mdia is None:
         raise Mp4Error("trak without mdia")
@@ -414,8 +444,6 @@ def _parse_stbl(data: bytes, start: int, end: int, track_id: int,
     boxes = {}
     for t, b, e in _iter_boxes(data, start, end):
         boxes[t] = (b, e)
-    if b"ctts" in boxes:
-        raise NotImplementedError("ctts (composition offsets) unsupported")
     for req in (b"stsd", b"stts", b"stsc", b"stsz"):
         if req not in boxes:
             raise Mp4Error(f"stbl missing {req.decode('latin1')}")
@@ -491,7 +519,30 @@ def _parse_stbl(data: bytes, start: int, end: int, track_id: int,
     if n_samples and int((offsets + sizes).max()) > file_end:
         raise Mp4Error("sample byte range overruns the file")
 
+    # ---- ctts: run-length (count, offset) composition offsets.
+    # v0 offsets are unsigned, v1 signed (ISO 14496-12 §8.6.1.3);
+    # pts = dts + offset — the B-frame reorder map.
+    if b"ctts" in boxes:
+        b0 = boxes[b"ctts"][0]
+        ver, _ = _full(data, b0)
+        (n_runs,) = struct.unpack_from(">I", data, b0 + 4)
+        raw = np.frombuffer(data, dtype=">u4", count=2 * n_runs, offset=b0 + 8)
+        counts = raw[0::2].astype(np.int64)
+        offs = raw[1::2].astype(np.int64)
+        if ver == 1:  # reinterpret as signed 32-bit
+            offs = np.where(offs >= 2**31, offs - 2**32, offs)
+        cts_off = np.repeat(offs, counts)
+        if cts_off.shape[0] != n_samples:
+            raise Mp4Error(
+                f"ctts covers {cts_off.shape[0]} samples, stsz declares "
+                f"{n_samples}"
+            )
+        pts = dts + cts_off
+    else:
+        pts = dts.copy()
+
     tr.offsets, tr.sizes, tr.dts, tr.durations = offsets, sizes, dts, durations
+    tr.pts = pts
     return tr
 
 

@@ -53,10 +53,14 @@ Scale design (mirrors :func:`~..lake.merge.table_changes` exactly):
 Remaining v1 seams (typed errors at PLAN time, never silent
 wrongness): payload/key column types outside the xxhash64 twin's
 surface — since r6 that surface includes float, date, binary,
-``decimal(p<=18)`` and ``timestamp_ntz`` alongside the original
-string/int/long/bool/timestamp/double, so what's left is
-wide decimals (p>18, Spark hashes the twos-complement byte array),
-arrays/structs/maps — rejected when the stream is planned; and a
+``decimal(p,s)`` at ANY precision (p<=18 hashes the unscaled LONG,
+wider the ``BigInteger.toByteArray`` twos-complement bytes — both
+Spark-bit-equal), ``timestamp_ntz``, and ONE level of
+``array<scalar>`` / ``struct<scalar...>`` (element-chained hashing
+with null-skip, exact vectorized element-wise diff) alongside the
+original string/int/long/bool/timestamp/double — so what's left is
+maps, deeper nesting, timestamps INSIDE arrays/structs, and nested
+KEY columns — rejected when the stream is planned; and a
 caller-supplied ``.schema(...)`` must match the source schema exactly
 (a reordered payload would silently change the equal-LSN tie-break
 hash order). Non-UTF-8 BINARY payloads diff correctly in both planes:
@@ -189,87 +193,204 @@ SUPPORTED_TYPES = frozenset(
     }
 )
 
+# Scalar types additionally allowed INSIDE array<>/struct<> (timestamps
+# stay out of the nested surface: element-level tz localization in the
+# arrow output path is untested territory — a typed seam, not a risk).
+NESTED_SCALAR_TYPES = SUPPORTED_TYPES - {"timestamp", "timestamp_ntz"}
+
 _DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
+
+from functools import lru_cache as _lru_cache
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a simpleString field list on TOP-LEVEL commas only
+    (nested ``array<struct<a:int,b:int>>`` commas don't count)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+@_lru_cache(maxsize=None)
+def _parse_type(t: str):
+    """Spark simpleString -> type descriptor tree:
+    ('scalar', name) | ('decimal', p, s) | ('array', elem_td) |
+    ('struct', ((field_name, field_td), ...)) | ('other', raw)."""
+    t = t.strip()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return ("decimal", int(m.group(1)), int(m.group(2)))
+    if t.startswith("array<") and t.endswith(">"):
+        return ("array", _parse_type(t[6:-1]))
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for part in _split_top(t[7:-1]):
+            name, sub = part.split(":", 1)
+            fields.append((name, _parse_type(sub)))
+        return ("struct", tuple(fields))
+    if "<" in t:  # map<...>, array-of-array handled by recursion above
+        return ("other", t)
+    return ("scalar", t)
+
+
+def _td_supported(td, nested: bool) -> bool:
+    kind = td[0]
+    if kind == "decimal":
+        return True  # any precision: p<=18 unscaled-long, p>18 byte-array
+    if kind == "scalar":
+        return td[1] in (NESTED_SCALAR_TYPES if nested else SUPPORTED_TYPES)
+    if nested:  # one nesting level only: array<array<..>>, struct-in-
+        return False  # array etc. stay typed seams
+    if kind == "array":
+        return _td_supported(td[1], nested=True)
+    if kind == "struct":
+        return len(td[1]) > 0 and all(
+            _td_supported(ft, nested=True) for _, ft in td[1]
+        )
+    return False  # map<>, udt, ...
 
 
 def _type_supported(t: str) -> bool:
-    """Whitelist predicate over Spark simpleString type names.
-    ``decimal(p,s)`` is supported for p <= 18 — Spark hashes those as
-    their unscaled LONG; wider decimals hash their twos-complement
-    byte array, a path we keep as a seam."""
-    m = _DECIMAL_RE.match(t)
-    if m:
-        return int(m.group(1)) <= 18
-    return t in SUPPORTED_TYPES
+    """Whitelist predicate over Spark simpleString type names: all
+    supported scalars, ``decimal(p,s)`` at ANY precision (p<=18 hashes
+    the unscaled LONG, wider the twos-complement byte array — both
+    Spark-bit-equal), plus ONE level of ``array<scalar>`` /
+    ``struct<scalar...>``. Maps, deeper nesting, and nested timestamps
+    stay typed plan-time seams."""
+    return _td_supported(_parse_type(t), nested=False)
+
+
+def _java_bigint_bytes(v: int) -> bytes:
+    """``BigInteger.toByteArray()`` twin: big-endian minimal-length
+    twos-complement incl. the sign bit (255 -> b'\\x00\\xff')."""
+    if v == 0:
+        return b"\x00"
+    return v.to_bytes((v.bit_length() + 8) // 8, "big", signed=True)
+
+
+def _is_null_value(v, td) -> bool:
+    """Spark-null test for one value. A float NaN is a VALUE only where
+    the declared type is double/float (Java hashes the canonical NaN
+    bits); in any other scalar slot it means 'missing' (pandas NaN)."""
+    import pandas as pd
+
+    if v is None or v is pd.NA:
+        return True
+    if td[0] == "scalar" and td[1] not in ("double", "float"):
+        try:
+            return v != v  # float('nan') leaked into a non-float slot
+        except (TypeError, ValueError):
+            return False
+    return False
+
+
+def _hash_value(v, td, h: int) -> int:
+    """Hash ONE non-null value into the running seed ``h`` exactly as
+    Spark's XxHash64 expression does for its type descriptor ``td``.
+    Arrays element-chain (null elements skipped — verified vs
+    F.xxhash64: [1,null,2] == [1,2], []/NULL leave the hash unchanged);
+    structs field-chain in declared order with the same null-skip."""
+    import pandas as pd
+
+    kind = td[0]
+    if kind == "array":
+        elem_td = td[1]
+        for e in list(v):
+            if not _is_null_value(e, elem_td):
+                h = _hash_value(e, elem_td, h)
+        return h
+    if kind == "struct":
+        vals = (
+            [v.get(name) for name, _ in td[1]]
+            if isinstance(v, dict)
+            else list(v)
+        )
+        for e, (_, ftd) in zip(vals, td[1]):
+            if not _is_null_value(e, ftd):
+                h = _hash_value(e, ftd, h)
+        return h
+    if kind == "decimal":
+        from decimal import Decimal, localcontext
+
+        p, s = td[1], td[2]
+        with localcontext() as ctx:
+            # the DEFAULT context rounds at 28 significant digits —
+            # scaleb on a decimal(30+,s) would silently round the
+            # unscaled value before hashing (caught by parity test)
+            ctx.prec = 80
+            unscaled = int(Decimal(v).scaleb(s).to_integral_value())
+        if p <= 18:  # Spark: unscaled LONG
+            return _hash_long(unscaled & _M, h)
+        return _hash_bytes(_java_bigint_bytes(unscaled), h)  # byte array
+    t = td[1]
+    if t == "string":
+        return _hash_bytes(str(v).encode("utf-8"), h)
+    if t in ("long", "bigint"):
+        return _hash_long(int(v) & _M, h)
+    if t in ("integer", "int", "short", "smallint", "byte", "tinyint"):
+        return _hash_int(int(v) & 0xFFFFFFFF, h)
+    if t == "boolean":
+        return _hash_int(1 if v else 0, h)
+    if t == "timestamp":
+        # Spark hashes timestamps as their micros-since-epoch long
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize("UTC")
+        return _hash_long(int(ts.value // 1000) & _M, h)
+    if t == "timestamp_ntz":
+        # same micros long, but the naive wall-clock IS the value
+        return _hash_long(int(pd.Timestamp(v).value // 1000) & _M, h)
+    if t == "double":
+        import struct as _struct
+
+        v = float(v)
+        if v != v:  # Java doubleToLongBits collapses every NaN
+            return _hash_long(0x7FF8000000000000, h)
+        d = 0.0 if v == 0.0 else v  # -0.0 normalizes
+        return _hash_long(int.from_bytes(_struct.pack("<d", d), "little"), h)
+    if t == "float":
+        import struct as _struct
+
+        f = float(v)
+        if f != f:  # Float.floatToIntBits collapses every NaN
+            return _hash_int(0x7FC00000, h)
+        f = 0.0 if f == 0.0 else f  # -0.0f normalizes
+        return _hash_int(int.from_bytes(_struct.pack("<f", f), "little"), h)
+    if t == "date":
+        # Spark hashes dates as their days-since-epoch INT
+        days = (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
+        return _hash_int(days & 0xFFFFFFFF, h)
+    if t == "binary":
+        return _hash_bytes(bytes(v), h)
+    raise NotImplementedError(f"xxhash64 twin: unsupported type {t}")
 
 
 def spark_xxhash64(values, dtypes, seed: int = 42) -> int:
     """``F.xxhash64(c1, c2, ...)`` twin: seed-chained per column, null
     leaves the running hash unchanged, SIGNED int64 result. ``dtypes``
     are Spark simpleString type names ('string', 'long', 'integer',
-    'timestamp', 'boolean', 'double', ...). A NaN in a DOUBLE column is
-    a VALUE (Spark hashes doubleToLongBits' canonical NaN), so pass
-    pandas nullable dtypes upstream (:func:`_read_bucket` does) — a
-    plain-float64 NaN in any other declared type is treated as null."""
-    import pandas as pd
-
+    'timestamp', 'boolean', 'double', 'array<bigint>',
+    'struct<k:string,v:bigint>', 'decimal(30,4)', ...). A NaN in a
+    DOUBLE/FLOAT slot is a VALUE (Spark hashes the canonical NaN bits),
+    so pass pandas nullable dtypes upstream (:func:`_read_bucket`
+    does) — a plain-float64 NaN in any other declared type is treated
+    as null."""
     h = seed
     for v, t in zip(values, dtypes):
-        if v is None or v is pd.NA or (v != v and t not in ("double", "float")):
-            continue
-        if t == "string":
-            h = _hash_bytes(str(v).encode("utf-8"), h)
-        elif t in ("long", "bigint"):
-            h = _hash_long(int(v) & _M, h)
-        elif t in ("integer", "int", "short", "smallint", "byte", "tinyint"):
-            h = _hash_int(int(v) & 0xFFFFFFFF, h)
-        elif t == "boolean":
-            h = _hash_int(1 if v else 0, h)
-        elif t == "timestamp":
-            # Spark hashes timestamps as their micros-since-epoch long
-            ts = pd.Timestamp(v)
-            if ts.tzinfo is None:
-                ts = ts.tz_localize("UTC")
-            h = _hash_long(int(ts.value // 1000) & _M, h)
-        elif t == "timestamp_ntz":
-            # same micros long, but the naive wall-clock IS the value
-            h = _hash_long(int(pd.Timestamp(v).value // 1000) & _M, h)
-        elif t == "double":
-            import struct as _struct
-
-            if v != v:  # Java doubleToLongBits collapses every NaN
-                h = _hash_long(0x7FF8000000000000, h)
-            else:
-                d = 0.0 if v == 0.0 else float(v)  # -0.0 normalizes
-                h = _hash_long(
-                    int.from_bytes(_struct.pack("<d", d), "little"), h
-                )
-        elif t == "float":
-            import struct as _struct
-
-            f = float(v)
-            if f != f:  # Float.floatToIntBits collapses every NaN
-                h = _hash_int(0x7FC00000, h)
-            else:
-                f = 0.0 if f == 0.0 else f  # -0.0f normalizes
-                h = _hash_int(
-                    int.from_bytes(_struct.pack("<f", f), "little"), h
-                )
-        elif t == "date":
-            # Spark hashes dates as their days-since-epoch INT
-            days = (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
-            h = _hash_int(days & 0xFFFFFFFF, h)
-        elif t == "binary":
-            h = _hash_bytes(bytes(v), h)
-        elif _DECIMAL_RE.match(t):
-            # precision <= 18 (enforced at plan time): unscaled LONG
-            s = int(_DECIMAL_RE.match(t).group(2))
-            from decimal import Decimal
-
-            unscaled = int(Decimal(v).scaleb(s).to_integral_value())
-            h = _hash_long(unscaled & _M, h)
-        else:
-            raise NotImplementedError(f"xxhash64 twin: unsupported type {t}")
+        td = _parse_type(t)
+        if not _is_null_value(v, td):
+            h = _hash_value(v, td, h)
     return h - (1 << 64) if h >= 1 << 63 else h
 
 
@@ -339,15 +460,26 @@ def _read_bucket(root: str, rel_files: list[str], cols: list[str], dtypes):
     # nullable pandas dtypes keep parquet NULL distinct from a real NaN
     # double (plain float64 collapses both to nan — the tie-break and
     # diff would then treat a stored NaN as null, diverging from the
-    # engine, which hashes NaN and stringifies it as a value)
-    mapper = {
+    # engine, which hashes NaN and stringifies it as a value). Nested
+    # columns (array/struct) stay ARROW-backed (pd.ArrowDtype): the
+    # default to_pandas turns list<int64> into float64 numpy arrays —
+    # null elements become NaN and values past 2^53 lose precision.
+    flat = {
         pa.int64(): pd.Int64Dtype(),
         pa.int32(): pd.Int32Dtype(),
         pa.int16(): pd.Int16Dtype(),
         pa.float64(): pd.Float64Dtype(),
         pa.float32(): pd.Float32Dtype(),
         pa.bool_(): pd.BooleanDtype(),
-    }.get
+    }
+
+    def mapper(t):
+        m = flat.get(t)
+        if m is not None:
+            return m
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t):
+            return pd.ArrowDtype(t)
+        return None
     fs, base = _fs_and_base(root)
     frames = []
     for rel in rel_files:
@@ -461,14 +593,120 @@ def _resolve_live_pd_fieldwise(df, keys: list[str], payload: list[str], dtypes):
     return res[op[last] != "D"].reset_index(drop=True)[out_cols]
 
 
-def _col_same(o, n, t: str):
+def _as_arrow(s, pa_type):
+    """pandas Series -> pyarrow Array. ArrowDtype columns (the nested
+    read path) unwrap zero-copy; plain object columns (the additive
+    schema-evolution fill, typically all-None) build against the
+    declared arrow type."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(s.dtype, pd.ArrowDtype):
+        arr = s.array._pa_array
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr
+    return pa.array(
+        [None if v is None or v is pd.NA else v for v in s.tolist()],
+        type=pa_type,
+    )
+
+
+def _arrow_elem_same(vo, vn, td):
+    """Positionally-aligned arrow arrays -> boolean 'same' mask with
+    the engine's scalar semantics: both-null same, null vs value a
+    change; double/float compare NaN==NaN as same and +-0.0 as a
+    change; everything else exact ``pc.equal``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eno = pc.is_null(vo).to_numpy(zero_copy_only=False)
+    enn = pc.is_null(vn).to_numpy(zero_copy_only=False)
+    if td[0] == "scalar" and td[1] in ("double", "float"):
+        do = vo.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        dn = vn.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        v_nan_o = np.isnan(do) & ~eno  # stored NaN VALUES (not nulls)
+        v_nan_n = np.isnan(dn) & ~enn
+        eq = ((do == dn) & (np.signbit(do) == np.signbit(dn))) | (
+            v_nan_o & v_nan_n
+        )
+        return (eno & enn) | (~eno & ~enn & eq)
+    eq = (
+        pc.fill_null(pc.equal(vo, vn), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    return (eno & enn) | (~eno & ~enn & eq)
+
+
+def _nested_col_same(o, n, td, pa_type):
+    """Vectorized 'unchanged' mask for ONE-level nested columns.
+
+    Arrays: lengths via ``bincount(list_parent_indices)`` (slice- and
+    null-row-safe), then a single positional gather aligns both sides'
+    flattened element buffers for candidate rows (non-null, equal
+    length) and one ``_arrow_elem_same`` pass + per-row mismatch
+    bincount decides — no per-row Python anywhere. Structs: field-wise
+    ``_arrow_elem_same`` under the top-level validity mask."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ao, an = _as_arrow(o, pa_type), _as_arrow(n, pa_type)
+    na_o = pc.is_null(ao).to_numpy(zero_copy_only=False)
+    na_n = pc.is_null(an).to_numpy(zero_copy_only=False)
+    both = ~na_o & ~na_n
+    same = na_o & na_n
+    if not both.any():
+        return same
+    if td[0] == "struct":
+        ok = np.ones(len(ao), dtype=bool)
+        for name, ftd in td[1]:
+            # child slots under null parents are arbitrary — masked by
+            # ``both`` below
+            ok &= _arrow_elem_same(ao.field(name), an.field(name), ftd)
+        return same | (both & ok)
+    elem_td = td[1]
+    n_rows = len(ao)
+    parent_o = pc.list_parent_indices(ao).to_numpy(zero_copy_only=False)
+    parent_n = pc.list_parent_indices(an).to_numpy(zero_copy_only=False)
+    len_o = np.bincount(parent_o, minlength=n_rows).astype(np.int64)
+    len_n = np.bincount(parent_n, minlength=n_rows).astype(np.int64)
+    cand = both & (len_o == len_n)
+    ok = cand.copy()  # equal-length empties are equal; rest verified below
+    idx = np.flatnonzero(cand & (len_o > 0))
+    if len(idx):
+        # list_flatten drops null-row slots, so starts come from the
+        # same bincount lengths (null rows contribute 0) — alignment
+        # is exact even for sliced/offset arrays
+        flat_o, flat_n = pc.list_flatten(ao), pc.list_flatten(an)
+        start_o = np.concatenate(([0], np.cumsum(len_o)[:-1]))
+        start_n = np.concatenate(([0], np.cumsum(len_n)[:-1]))
+        L = len_o[idx]
+        within = np.arange(int(L.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(L)[:-1])), L
+        )
+        vo = pc.take(flat_o, pa.array(np.repeat(start_o[idx], L) + within))
+        vn = pc.take(flat_n, pa.array(np.repeat(start_n[idx], L) + within))
+        es = _arrow_elem_same(vo, vn, elem_td)
+        seg = np.repeat(np.arange(len(idx)), L)
+        ok[idx] = np.bincount(seg[~es], minlength=len(idx)) == 0
+    return same | (both & ok)
+
+
+def _col_same(o, n, t: str, pa_type=None):
     """Vectorized per-column 'unchanged' mask matching the engine's
-    string-cast comparison (state_diff): both-null is same, null vs
-    anything is a change; for doubles NaN==NaN is same (both cast to
-    'NaN'), NULL<->NaN is a change, and +0.0 vs -0.0 is a change
-    ('0.0' != '-0.0')."""
+    comparison (state_diff): both-null is same, null vs anything is a
+    change; for doubles NaN==NaN is same, NULL<->NaN is a change, and
+    +0.0 vs -0.0 is a change; arrays/structs compare element-/field-
+    wise with the same scalar rules (state_diff's element-digest
+    fold)."""
     import numpy as np
 
+    td = _parse_type(t)
+    if td[0] in ("array", "struct"):
+        return _nested_col_same(o, n, td, pa_type)
     na_o = o.isna().to_numpy(dtype=bool)
     na_n = n.isna().to_numpy(dtype=bool)
     if t in ("double", "float"):
@@ -523,12 +761,15 @@ def _merge_indices(old, new, keys: list[str]):
     return io, i_n
 
 
-def _diff_states_pd(old, new, keys: list[str], payload: list[str], dtypes):
+def _diff_states_pd(
+    old, new, keys: list[str], payload: list[str], dtypes, pa_types=None
+):
     """``state_diff`` twin, fully vectorized: an index-only outer join
     on the keys, boolean column masks over positionally-aligned takes,
     one output DataFrame (_change, keys, new-side payload — nulled for
     D — and the change's _lsn). Only the kept change rows are ever
-    materialized."""
+    materialized. ``pa_types`` (col -> arrow type) backs the nested-
+    column compare's schema-evolution fallback."""
     import numpy as np
     import pandas as pd
 
@@ -554,7 +795,12 @@ def _diff_states_pd(old, new, keys: list[str], payload: list[str], dtypes):
     for c in payload:
         ov = old[c].take(safe_o).reset_index(drop=True)
         nv = new[c].take(safe_n).reset_index(drop=True)
-        same &= _col_same(ov, nv, dtypes.get(c, "string"))
+        same &= _col_same(
+            ov,
+            nv,
+            dtypes.get(c, "string"),
+            pa_types.get(c) if pa_types else None,
+        )
     keep = ~(has_o & has_n) | ~same
     so, sn = safe_o[keep], safe_n[keep]
     ho, hn = has_o[keep], has_n[keep]
@@ -645,10 +891,23 @@ def _check_supported(root: str, snap: Snapshot) -> None:
     ]
     if bad:
         raise NotImplementedError(
-            f"lake_cdf v1 supports column types {sorted(SUPPORTED_TYPES)} "
-            f"plus decimal(p<=18,s); table {root} carries unsupported "
-            f"column(s) {bad} — use table_changes()/ChangeFeedConsumer "
-            f"for this table"
+            f"lake_cdf supports column types {sorted(SUPPORTED_TYPES)}, "
+            f"decimal(p,s) at any precision, and ONE level of "
+            f"array<scalar>/struct<scalar...> (timestamps only at the "
+            f"top level); table {root} carries unsupported column(s) "
+            f"{bad} — use table_changes()/ChangeFeedConsumer for this "
+            f"table"
+        )
+    by_name = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    nested_keys = [
+        f"{k}:{by_name[k]}"
+        for k in snap.key_cols
+        if _parse_type(by_name[k])[0] in ("array", "struct")
+    ]
+    if nested_keys:
+        raise NotImplementedError(
+            f"lake_cdf: KEY columns must be scalar (the key join "
+            f"factorizes values); table {root} keys on {nested_keys}"
         )
 
 
@@ -861,14 +1120,23 @@ class _CdfStreamReader(DataSourceStreamReader):
         return resolve(raw, p.keys, p.payload, p.dtypes)
 
     def read(self, partition: _BucketTask):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         old = self._resolve_side(
             partition, partition.old_files, partition.old_extras
         )
         new = self._resolve_side(
             partition, partition.new_files, partition.new_extras
         )
+        pa_schema = to_arrow_schema(self.out_schema)
+        pa_types = {f.name: f.type for f in pa_schema}
         diff = _diff_states_pd(
-            old, new, partition.keys, partition.payload, partition.dtypes
+            old,
+            new,
+            partition.keys,
+            partition.payload,
+            partition.dtypes,
+            pa_types,
         )
         yield from _to_arrow_batches(diff, self.out_schema, partition.dtypes)
 

@@ -168,6 +168,35 @@ def test_python_xxhash64_matches_spark(spark):
     for r, g in zip(rows3, got3):
         assert spark_xxhash64(list(r), types3) == g["h"], r
 
+    # late-r6 nested surface: arrays element-chain with null elements
+    # SKIPPED ([1,null,2] == [1,2]; []/NULL leave the hash unchanged),
+    # structs field-chain, wide decimals (p>18) hash their
+    # BigInteger.toByteArray twos-complement bytes
+    rows4 = [
+        (["a", "b"], [1, None, 2], {"k": "x", "v": 1},
+         _dec.Decimal("123456789012345678901234.5678"), [1.5, float("nan")]),
+        (["a, b"], [], None, _dec.Decimal("-0.0001"), [-0.0]),
+        (None, None, {"k": None, "v": None}, None, None),
+        ([None, "x"], [0], {"k": "", "v": -1}, _dec.Decimal("0.0000"),
+         [0.0, None]),
+        ([""], [1, 2], {"k": "y", "v": 2 ** 62},
+         _dec.Decimal("-99999999999999999999999999.9999"), [2.5] * 5),
+    ]
+    schema4 = T.StructType([
+        T.StructField("ss", T.ArrayType(T.StringType())),
+        T.StructField("ll", T.ArrayType(T.LongType())),
+        T.StructField("st", T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType())])),
+        T.StructField("wd", T.DecimalType(30, 4)),
+        T.StructField("dd", T.ArrayType(T.DoubleType())),
+    ])
+    types4 = [f.dataType.simpleString() for f in schema4.fields]
+    got4 = spark.createDataFrame(rows4, schema4).select(
+        F.xxhash64(*[f.name for f in schema4.fields]).alias("h")).collect()
+    for r, g in zip(rows4, got4):
+        assert spark_xxhash64(list(r), types4) == g["h"], r
+
 
 def test_pandas_resolve_matches_engine_on_equal_lsn_ties(spark):
     """Equal-LSN rows for one key: the engine breaks the tie by
@@ -664,6 +693,184 @@ def test_exotic_payload_types_stream_matches_batch_cdf(spark, tmp_path):
     assert changed == {"a", "b", "c", "e"}  # d is byte-identical: no row
 
 
+def _canon(v):
+    """Hashable, NaN-stable canonical form for nested collect/arrow rows."""
+    import math
+
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def test_nested_payload_types_stream_matches_batch_cdf(spark, tmp_path):
+    """r6 nested-surface widening, end to end: array<string> /
+    array<double> / struct<k,v> / decimal(30,4) payloads stream
+    bit-equal to table_changes — including the adversarial cases that
+    motivated the element-wise code: ['a, b'] -> ['a','b'] renders
+    identically under cast('string') ('[a, b]') but MUST classify as a
+    change in both planes; [] vs NULL array is a change; a NaN element
+    re-asserted is NOT a change; 0.0 -> -0.0 inside an array is; a
+    struct field nulling out is; and an equal-LSN tie on a fresh key
+    picks the winner via the nested xxhash64 twin."""
+    import decimal as _dec
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+    )
+
+    root = str(tmp_path / "nested")
+    tschema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("scores", T.ArrayType(T.DoubleType()), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType())]), True),
+        T.StructField("wd", T.DecimalType(30, 4), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, root, schema=tschema, key_cols=["id"],
+                         bucket_count=2)
+    ev_schema = T.StructType(
+        [T.StructField("_lsn", T.LongType(), False),
+         T.StructField("_op", T.StringType(), False)] + list(tschema.fields[:5])
+    )
+    nan = float("nan")
+    merge_into(t, spark.createDataFrame([
+        (1, "I", "a", ["a, b"], [1.0, nan], {"k": "x", "v": 1},
+         _dec.Decimal("1.5000")),
+        (2, "I", "b", [], [0.0], None, _dec.Decimal("-2.0000")),
+        (3, "I", "c", None, None, {"k": None, "v": 2}, None),
+        (4, "I", "d", ["keep"], [2.5], {"k": "z", "v": 9},
+         _dec.Decimal("7.0000")),
+    ], ev_schema), "b1")
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame([
+        # ONLY ['a, b'] -> ['a','b']: both cast to '[a, b]' — ambiguous
+        (5, "U", "a", ["a", "b"], [1.0, nan], {"k": "x", "v": 1},
+         _dec.Decimal("1.5000")),
+        # [] -> NULL array AND 0.0 -> -0.0 element
+        (6, "U", "b", None, [-0.0], None, _dec.Decimal("-2.0000")),
+        # byte-identical re-assert (NaN element included): NOT a change
+        (7, "U", "c", None, None, {"k": None, "v": 2}, None),
+        # struct field -> null: a change
+        (8, "U", "d", ["keep"], [2.5], {"k": "z", "v": None},
+         _dec.Decimal("7.0000")),
+        # equal-LSN tie on a fresh key: winner = nested tie-break hash
+        (9, "I", "e", ["t1"], [1.0], {"k": "a", "v": 1},
+         _dec.Decimal("1.0000")),
+        (9, "I", "e", ["t2"], [2.0], {"k": "b", "v": 2},
+         _dec.Decimal("2.0000")),
+    ], ev_schema), "b2")
+    v2 = t.current_version()
+
+    cols = ["_change", "id", "tags", "scores", "meta", "wd", "_lsn"]
+    rd = _CdfStreamReader({"path": root})
+    for sv, ev_ in [(v1, v2), (0, v2)]:
+        got = set()
+        for p in rd.partitions({"version": sv}, {"version": ev_}):
+            for batch in rd.read(p):
+                for row in batch.to_pylist():
+                    got.add(tuple(_canon(row[c]) for c in cols))
+        want = {
+            tuple(_canon(r.asDict(recursive=True)[c]) for c in cols)
+            for r in table_changes(t, sv, ev_).select(*cols).collect()
+        }
+        assert got == want, f"span {sv}->{ev_}"
+    span_keys = set()
+    for p in rd.partitions({"version": v1}, {"version": v2}):
+        for batch in rd.read(p):
+            span_keys |= {row["id"] for row in batch.to_pylist()}
+    assert span_keys == {"a", "b", "d", "e"}  # c byte-identical: no row
+
+    # and through the REAL engine: a readStream pass forwards the
+    # nested arrow batches through the worker conversion path intact
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (spark.readStream.format("lake_cdf").option("path", root).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got_stream = {
+        tuple(_canon(r.asDict(recursive=True)[c]) for c in cols)
+        for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    want_full = {
+        tuple(_canon(r.asDict(recursive=True)[c]) for c in cols)
+        for r in table_changes(t, 0, v2).select(*cols).collect()
+    }
+    assert got_stream == want_full
+
+
+def test_fieldwise_table_with_array_column_streams(spark, tmp_path):
+    """Field-wise (_pu) resolve over a nested column: a partial update
+    that leaves the array unspecified must keep the older array value
+    (coalesce read), and the stream must match table_changes."""
+    import decimal as _dec
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+    )
+
+    root = str(tmp_path / "fw")
+    tschema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("note", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, root, schema=tschema, key_cols=["id"],
+                         bucket_count=2)
+    ev_schema = T.StructType(
+        [T.StructField("_lsn", T.LongType(), False),
+         T.StructField("_op", T.StringType(), False)]
+        + list(tschema.fields[:3])
+    )
+    merge_into(t, spark.createDataFrame([
+        (1, "I", "a", ["x", "y"], "first"),
+        (2, "I", "b", ["b0"], "keep"),
+    ], ev_schema), "b1")
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame([
+        # partial: note changes, tags UNSPECIFIED -> older ['x','y'] holds
+        (3, "U", "a", None, "second"),
+        # partial: tags change, note unspecified
+        (4, "U", "b", ["b1", "b2"], None),
+    ], ev_schema), "b2", update_policy="coalesce")
+    v2 = t.current_version()
+
+    cols = ["_change", "id", "tags", "note", "_lsn"]
+    rd = _CdfStreamReader({"path": root})
+    got = set()
+    for p in rd.partitions({"version": v1}, {"version": v2}):
+        for batch in rd.read(p):
+            for row in batch.to_pylist():
+                got.add(tuple(_canon(row[c]) for c in cols))
+    want = {
+        tuple(_canon(r.asDict(recursive=True)[c]) for c in cols)
+        for r in table_changes(t, v1, v2).select(*cols).collect()
+    }
+    assert got == want
+    by_id = {r[1]: r for r in got}
+    assert by_id["a"][2] == ("x", "y")  # unspecified array held
+    assert by_id["a"][3] == "second"
+    assert by_id["b"][2] == ("b1", "b2")
+    assert by_id["b"][3] == "keep"  # unspecified scalar held
+
+
 def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     """Remaining v1 seams fail at PLAN time with typed errors: payload
     types outside the xxhash64 twin's surface, unresolvable root
@@ -679,16 +886,44 @@ def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     root = str(tmp_path / "dt")
     schema = T.StructType([
         T.StructField("id", T.StringType(), False),
-        # decimal p>18 hashes its byte array in Spark — still a seam
-        # (date/float/binary/decimal(p<=18)/ntz are REAL since r6)
-        T.StructField("d", T.DecimalType(20, 2), True),
+        # maps stay out (Spark refuses hash on MapType by default);
+        # wide decimals / one-level arrays / structs are REAL since r6
+        T.StructField("m", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("_op", T.StringType(), False),
         T.StructField("_lsn", T.LongType(), False),
     ])
     LakeTable.create(spark, root, schema=schema, key_cols=["id"],
                      bucket_count=2)
-    with pytest.raises(NotImplementedError, match=r"d:decimal\(20,2\)"):
+    with pytest.raises(NotImplementedError, match=r"m:map<string,string>"):
         _CdfStreamReader({"path": root})  # plan time, not first tie
+
+    # deeper nesting and nested timestamps are seams too
+    root2 = str(tmp_path / "dt2")
+    schema2 = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("aa", T.ArrayType(T.ArrayType(T.LongType())), True),
+        T.StructField("at", T.ArrayType(T.TimestampType()), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    LakeTable.create(spark, root2, schema=schema2, key_cols=["id"],
+                     bucket_count=2)
+    with pytest.raises(NotImplementedError,
+                       match=r"aa:array<array<bigint>>.*at:array<timestamp>"):
+        _CdfStreamReader({"path": root2})
+
+    # nested KEY columns fail typed even though the TYPE is supported
+    root3 = str(tmp_path / "dt3")
+    schema3 = T.StructType([
+        T.StructField("k", T.ArrayType(T.LongType()), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    LakeTable.create(spark, root3, schema=schema3, key_cols=["k"],
+                     bucket_count=2)
+    with pytest.raises(NotImplementedError, match=r"KEY columns.*k:array"):
+        _CdfStreamReader({"path": root3})
 
     ok_root = str(tmp_path / "ok")
     r = CdcRunner(spark, RunnerConfig(table_root=ok_root, bucket_count=2,

@@ -359,7 +359,40 @@ def test_state_diff_hash_not_injectable(spark):
     assert len(d2) == 1 and d2[0]["_change"] == "U"
 
 
-def test_change_feed_consumer_exactly_once_downstream(spark, tmp_path):
+def test_state_diff_nested_columns_element_wise(spark):
+    """Array/struct payloads digest ELEMENT-wise, not via
+    cast('string'): array('a, b') and array('a','b') both render
+    '[a, b]' — the string-cast scheme would classify that real update
+    as unchanged. Also: [] vs NULL array is a change, [1,null] vs [1]
+    is a change, a struct field nulling out is a change, a NULL struct
+    vs a struct of nulls is a change — and byte-identical nested rows
+    are NOT re-emitted."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import state_diff
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("a", T.ArrayType(T.StringType())),
+        T.StructField("la", T.ArrayType(T.LongType())),
+        T.StructField("st", T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType())])),
+        T.StructField("_lsn", T.LongType()),
+    ])
+    old = spark.createDataFrame([
+        ("amb", ["a, b"], [1], {"k": "x", "v": 1}, 1),
+        ("empty", [], [1, None], None, 1),
+        ("same", ["q"], [7, 8], {"k": None, "v": 2}, 1),
+    ], schema)
+    new = spark.createDataFrame([
+        ("amb", ["a", "b"], [1], {"k": "x", "v": 1}, 2),
+        ("empty", None, [1], {"k": None, "v": None}, 2),
+        ("same", ["q"], [7, 8], {"k": None, "v": 2}, 2),
+    ], schema)
+    d = {r["id"]: r["_change"]
+         for r in state_diff(old, new, ["id"], ["a", "la", "st"]).collect()}
+    assert d == {"amb": "U", "empty": "U"}  # 'same' must NOT appear
     """Checkpointed tail of the committed snapshots: each poll returns
     the O(change) diff since the last ack; a crash between poll and ack
     re-delivers the identical diff; applying diffs as patches converges
