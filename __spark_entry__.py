@@ -1931,8 +1931,14 @@ SELECT v.media_id,
        CAST(1200 AS BIGINT) AS video_ms,
        v.r_sum, v.g_sum, v.b_sum,
        a.n_audio, a.audio_sum, a.audio_min, a.audio_max,
-       (SELECT CAST(sum(LEAST(5, (k * 5) // 2)) AS BIGINT)
-        FROM (SELECT unnest(generate_series(0, 2)) AS k)) AS fidx_sum
+       -- frame sampling follows PRESENTATION order: ids ≡ 2 (mod 7)
+       -- store frames in adjacent-swap decode order (ctts/trun cts +
+       -- net-zero elst), so the sampled STORED index is slot XOR 1
+       (SELECT CAST(sum(CASE WHEN v.media_id % 7 = 2
+                             THEN slot + 1 - 2 * (slot % 2)   -- slot XOR 1
+                             ELSE slot END) AS BIGINT)
+        FROM (SELECT LEAST(5, (k * 5) // 2) AS slot
+              FROM (SELECT unnest(generate_series(0, 2)) AS k))) AS fidx_sum
 FROM vid v JOIN aud a USING (media_id)
 """
 

@@ -28,11 +28,15 @@ Scope (honest seams, typed errors):
   avc1/hev1/… too.  Pixel DECODE is only real for ``'raw '`` video and
   ``'twos'``/``'sowt'`` PCM audio (no entropy-coded codecs in this
   container, same rule as the JPEG/PNG split).
-- Edit lists (``elst``) raise ``NotImplementedError``; ``ctts`` /
-  nonzero ``trun`` composition offsets (B-frame reordering) are absent
-  for raw video by construction and rejected if present; implicit
-  previous-traf base offsets (neither tfhd base-data-offset nor
-  default-base-is-moof) are rejected as a typed seam.
+- Composition offsets are REAL (late r6): ``ctts`` (v0 unsigned / v1
+  signed) and per-sample ``trun`` cts expand to a per-sample ``pts``
+  array; edit lists (``elst``) in the standard shape — optional
+  leading empty edit (presentation delay) + one rate-1.0 forward edit
+  (media-time shift; trimmed pre-roll shows as negative pts) — shift
+  the presentation timeline, and frame sampling runs on PTS order
+  (what a viewer sees), not decode order.  Multi-segment / repeating /
+  rate-warped edits and implicit previous-traf base offsets (neither
+  tfhd base-data-offset nor default-base-is-moof) stay typed seams.
 
 Scale notes: sample-table expansion (stts/stsc run-length → per-sample
 offset/size/dts arrays) is fully vectorized numpy — a multi-million
@@ -180,8 +184,8 @@ def parse_mp4(data: bytes) -> Mp4Info:
     """Parse an MP4/QuickTime file — progressive (``stbl``) or
     fragmented (``moof``/``trun``) — into per-track sample tables.
     Raises :class:`Mp4Error` on malformed input and
-    ``NotImplementedError`` on the documented seams (edit lists,
-    composition offsets, implicit previous-traf base offsets)."""
+    ``NotImplementedError`` on the documented seams (non-standard edit
+    list shapes, implicit previous-traf base offsets)."""
     if data is None or len(data) < 16:
         raise Mp4Error("payload too short for an MP4")
     major = b"????"
@@ -216,6 +220,8 @@ def parse_mp4(data: bytes) -> Mp4Info:
         if mvex is not None:
             trex = _parse_mvex(data, mvex[0], mvex[1])
         _apply_fragments(data, moofs, tracks, trex)
+    for tr in tracks:  # edit lists shift pts once the movie ts is known
+        _apply_elst(tr, ts)
     info = Mp4Info(major_brand=major.decode("latin1"), timescale=ts,
                    duration=dur, tracks=tracks)
     return info
@@ -436,7 +442,35 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     stbl = _find(data, minf[0], minf[1], b"stbl")
     if stbl is None:
         raise Mp4Error("minf without stbl")
-    return _parse_stbl(data, stbl[0], stbl[1], track_id, handler, ts, dur)
+    tr = _parse_stbl(data, stbl[0], stbl[1], track_id, handler, ts, dur)
+    tr.elst = elst_entries
+    return tr
+
+
+def _apply_elst(tr: Mp4Track, movie_ts: int) -> None:
+    """Apply the edit list to the track's presentation times. Supported
+    shape: an optional leading EMPTY edit (media_time == -1, a
+    presentation delay in MOVIE timescale) followed by exactly one
+    rate-1.0 forward edit whose media_time shifts the media timeline
+    (samples composed before it get negative pts = trimmed pre-roll,
+    the standard start_time convention). Repeating / multi-segment /
+    rate-warped edits stay a typed seam."""
+    if not tr.elst:
+        return
+    ents = list(tr.elst)
+    shift = 0
+    if ents and ents[0][1] == -1:  # empty edit: delay, movie timescale
+        if movie_ts <= 0:
+            raise Mp4Error("empty edit with zero movie timescale")
+        shift = int(round(ents[0][0] * tr.timescale / movie_ts))
+        ents = ents[1:]
+    if len(ents) != 1 or ents[0][2] != 1.0 or ents[0][1] < 0:
+        raise NotImplementedError(
+            "unsupported edit list shape: only [optional empty edit] + "
+            "one rate-1.0 forward edit is supported "
+            f"(entries={tr.elst!r})"
+        )
+    tr.pts = tr.pts - int(ents[0][1]) + shift
 
 
 def _parse_stbl(data: bytes, start: int, end: int, track_id: int,
@@ -622,19 +656,36 @@ def decode_pcm_audio(data: bytes, track: Mp4Track) -> np.ndarray:
     return np.frombuffer(raw, dtype=dt).astype(np.int64)
 
 
+def presentation_order(track: Mp4Track) -> np.ndarray:
+    """Stored-sample indices in PRESENTATION (pts) order — identity
+    when the stream has no reordering (pts == dts)."""
+    if track.pts.shape[0] != track.n_samples:
+        return np.arange(track.n_samples, dtype=np.int64)
+    return np.argsort(track.pts, kind="stable").astype(np.int64)
+
+
 def frame_indices_at_fps(track: Mp4Track, fps: float) -> np.ndarray:
-    """Real frame sampling: for each tick k/fps, the index of the
-    sample whose decode time covers the tick (last dts <= tick) —
-    the container-backed version of the synthetic frame_sample grid."""
+    """Real frame sampling on the PRESENTATION timeline: for each tick
+    k/fps, the stored index of the sample presented at the tick (last
+    pts <= tick) — the container-backed version of the synthetic
+    frame_sample grid. With no ctts/elst, pts == dts and this is the
+    decode-time grid it always was; reordered or edit-shifted streams
+    sample what a viewer would SEE at the tick. Pre-roll samples
+    (negative pts after an edit trim) are never selected unless
+    nothing has been presented yet."""
     if fps <= 0:
         raise ValueError("fps must be positive")
     if track.n_samples == 0:
         return np.empty(0, np.int64)
-    end = track.duration / track.timescale if track.timescale else 0.0
+    pts = (track.pts if track.pts.shape[0] == track.n_samples else track.dts)
+    order = np.argsort(pts, kind="stable").astype(np.int64)
+    sorted_pts = pts[order]
+    end_ts = int(sorted_pts[-1]) + int(track.durations[order[-1]])
+    end = end_ts / track.timescale if track.timescale else 0.0
     n_ticks = max(int(np.ceil(end * fps)), 1)
     ticks = (np.arange(n_ticks) / fps * track.timescale).astype(np.int64)
-    idx = np.searchsorted(track.dts, ticks, side="right") - 1
-    return np.clip(idx, 0, track.n_samples - 1)
+    idx = np.searchsorted(sorted_pts, ticks, side="right") - 1
+    return order[np.clip(idx, 0, track.n_samples - 1)]
 
 
 # ---------------------------------------------------------------------------
@@ -686,6 +737,31 @@ def _stts(durations: Sequence[int]) -> bytes:
     return _fullbox(b"stts", 0, 0, body)
 
 
+def _ctts(offsets: Sequence[int]) -> bytes:
+    """Run-length ctts, version 1 (signed offsets)."""
+    runs: List[List[int]] = []
+    for o in offsets:
+        if runs and runs[-1][1] == int(o):
+            runs[-1][0] += 1
+        else:
+            runs.append([1, int(o)])
+    body = struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">Ii", c, o) for c, o in runs
+    )
+    return _fullbox(b"ctts", 1, 0, body)
+
+
+def _edts(empty_dur_movie: int, media_time: int, seg_dur_movie: int) -> bytes:
+    """edts/elst (version 0): optional empty edit (presentation delay)
+    + one rate-1.0 forward edit at ``media_time``."""
+    entries = []
+    if empty_dur_movie:
+        entries.append(struct.pack(">IiHH", empty_dur_movie, -1, 1, 0))
+    entries.append(struct.pack(">IiHH", seg_dur_movie, media_time, 1, 0))
+    body = struct.pack(">I", len(entries)) + b"".join(entries)
+    return _box(b"edts", _fullbox(b"elst", 0, 0, body))
+
+
 @dataclass
 class _TrackPlan:
     handler: bytes
@@ -704,6 +780,10 @@ class _TrackPlan:
     # fragmented layout: moov tables are empty; total duration comes
     # from the fragments instead of sample_durations
     frag_total_dur: int = 0
+    # composition offsets (ctts, media ts units; None = no reordering)
+    cts_offsets: Optional[List[int]] = None
+    # (empty_edit_dur_movie_ts, media_time) elst; None = no edit list
+    edit: Optional[Tuple[int, int]] = None
 
     def plan_chunks(self) -> None:
         self.chunk_sizes = _chunks_of(len(self.sample_payloads), self.samples_per_chunk)
@@ -718,11 +798,19 @@ def encode_mp4(frames: Sequence[np.ndarray], fps: int = 30, *,
                audio: Optional[np.ndarray] = None, sample_rate: int = 8000,
                samples_per_chunk: int = 3, audio_samples_per_chunk: int = 1024,
                use_co64: bool = False, mdat_first: bool = True,
-               timescale: int = 600) -> bytes:
+               timescale: int = 600,
+               cts_offsets: Optional[Sequence[int]] = None,
+               edit_media_time: int = 0,
+               edit_empty_dur: int = 0) -> bytes:
     """Write a progressive MP4: one ``'raw '`` RGB24 video track from
     (h, w, 3) uint8 frames, optionally one ``'sowt'`` 16-bit PCM mono
     audio track.  ``samples_per_chunk``/``use_co64``/``mdat_first``
     vary the physical layout so tests can exercise every parser path.
+    ``cts_offsets`` (per frame, media-ts units, may be negative) writes
+    a v1 ``ctts`` box — frames are stored in the given (decode) order
+    and PRESENTED at dts+offset; ``edit_media_time`` /
+    ``edit_empty_dur`` (movie-ts units) write an ``edts/elst``
+    (media-time shift / leading empty-edit delay).
     """
     frames = list(frames)
     if not frames:
@@ -733,6 +821,8 @@ def encode_mp4(frames: Sequence[np.ndarray], fps: int = 30, *,
     if timescale % fps:
         raise ValueError("timescale must be a multiple of fps for exact durations")
     dur_per_frame = timescale // fps
+    if cts_offsets is not None and len(cts_offsets) != len(frames):
+        raise ValueError("cts_offsets must have one entry per frame")
 
     plans = [
         _TrackPlan(
@@ -740,6 +830,10 @@ def encode_mp4(frames: Sequence[np.ndarray], fps: int = 30, *,
             sample_payloads=[f.tobytes() for f in frames],
             sample_durations=[dur_per_frame] * len(frames),
             samples_per_chunk=samples_per_chunk, width=w, height=h,
+            cts_offsets=(list(cts_offsets) if cts_offsets is not None
+                         else None),
+            edit=((edit_empty_dur, edit_media_time)
+                  if (edit_media_time or edit_empty_dur) else None),
         )
     ]
     if audio is not None:
@@ -803,7 +897,8 @@ def encode_mp4_fragmented(frames: Sequence[np.ndarray], fps: int = 30, *,
                           sample_rate: int = 8000,
                           frames_per_fragment: int = 4,
                           per_sample_fields: bool = False,
-                          timescale: int = 600) -> bytes:
+                          timescale: int = 600,
+                          cts_offsets: Optional[Sequence[int]] = None) -> bytes:
     """Write a FRAGMENTED MP4 (CMAF-style): ``ftyp | moov(mvex/trex) |
     [moof mdat]*`` with one ``'raw '`` video traf (and optionally one
     PCM audio traf) per fragment.  ``per_sample_fields=True`` writes
@@ -820,6 +915,8 @@ def encode_mp4_fragmented(frames: Sequence[np.ndarray], fps: int = 30, *,
         raise ValueError("timescale must be a multiple of fps for exact durations")
     if frames_per_fragment < 1:
         raise ValueError("frames_per_fragment must be >= 1")
+    if cts_offsets is not None and len(cts_offsets) != len(frames):
+        raise ValueError("cts_offsets must have one entry per frame")
     dur = timescale // fps
     payload_v = [f.tobytes() for f in frames]
     vsize = w * h * 3
@@ -856,30 +953,48 @@ def encode_mp4_fragmented(frames: Sequence[np.ndarray], fps: int = 30, *,
         asamp = (pcm[k * apf : (k + 1) * apf] if pcm is not None
                  else np.empty(0, np.int16))
 
+        cs = (list(cts_offsets[k * frames_per_fragment
+                               : (k + 1) * frames_per_fragment])
+              if cts_offsets is not None else None)
+
         def traf(tid: int, n: int, dts0: int, ddur: int, dsize: int,
-                 sizes: List[int], doff: int) -> bytes:
+                 sizes: List[int], doff: int,
+                 cts: Optional[List[int]] = None) -> bytes:
             if per_sample_fields:
                 tfhd = _fullbox(b"tfhd", 0, _TFHD_BASE_IS_MOOF,
                                 struct.pack(">I", tid))
                 trun_flags = (_TRUN_DATA_OFFSET | _TRUN_SAMPLE_DURATION
                               | _TRUN_SAMPLE_SIZE)
-                body = struct.pack(">Ii", n, doff) + b"".join(
-                    struct.pack(">II", ddur, s) for s in sizes)
+                if cts is not None:
+                    trun_flags |= _TRUN_SAMPLE_CTS
+                    body = struct.pack(">Ii", n, doff) + b"".join(
+                        struct.pack(">IIi", ddur, s, c)
+                        for s, c in zip(sizes, cts))
+                else:
+                    body = struct.pack(">Ii", n, doff) + b"".join(
+                        struct.pack(">II", ddur, s) for s in sizes)
             else:
                 tfhd = _fullbox(
                     b"tfhd", 0,
                     _TFHD_BASE_IS_MOOF | _TFHD_DEF_DURATION | _TFHD_DEF_SIZE,
                     struct.pack(">III", tid, ddur, dsize))
-                body = struct.pack(">Ii", n, doff)
                 trun_flags = _TRUN_DATA_OFFSET
+                if cts is not None:
+                    trun_flags |= _TRUN_SAMPLE_CTS
+                    body = struct.pack(">Ii", n, doff) + b"".join(
+                        struct.pack(">i", c) for c in cts)
+                else:
+                    body = struct.pack(">Ii", n, doff)
             tfdt = _fullbox(b"tfdt", 1, 0, struct.pack(">Q", dts0))
-            trun = _fullbox(b"trun", 0, trun_flags, body)
+            # trun v1 = signed composition offsets
+            trun = _fullbox(b"trun", 1 if cts is not None else 0,
+                            trun_flags, body)
             return _box(b"traf", tfhd + tfdt + trun)
 
         def moof_bytes(doff_v: int, doff_a: int) -> bytes:
             mfhd = _fullbox(b"mfhd", 0, 0, struct.pack(">I", k + 1))
             trafs = traf(1, len(vs), vdts, dur, vsize,
-                         [len(b) for b in vs], doff_v)
+                         [len(b) for b in vs], doff_v, cts=cs)
             if pcm is not None and asamp.size:
                 trafs += traf(2, int(asamp.size), adts, 1, 2,
                               [2] * int(asamp.size), doff_a)
@@ -987,10 +1102,16 @@ def _trak(p: _TrackPlan, track_id: int, movie_timescale: int, use_co64: bool) ->
             struct.pack(">I", len(p.chunk_offsets))
             + b"".join(struct.pack(">I", o) for o in p.chunk_offsets),
         )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+    ctts = _ctts(p.cts_offsets) if p.cts_offsets is not None else b""
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + co)
     minf = _box(b"minf", mhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    return _box(b"trak", tkhd + mdia)
+    edts = b""
+    if p.edit is not None:
+        empty_dur, media_time = p.edit
+        edts = _edts(empty_dur, media_time,
+                     tdur * movie_timescale // p.timescale)
+    return _box(b"trak", tkhd + edts + mdia)
 
 
 def _sample_entry_video(p: _TrackPlan) -> bytes:

@@ -865,17 +865,37 @@ def synthetic_mp4_media(spark, n: int, width: int = 16, height: int = 12,
                     b = (xx + yy + f * 13 + m * 7) % 256
                     frames.append(np.stack([r, g, b], axis=-1).astype(np.uint8))
                 audio = ((i * (m + 5) + m * 13) % 65536 - 32768).astype(np.int16)
+                # ids ≡ 2 (mod 7): B-style reorder — frames stored in
+                # adjacent-swap decode order (stored[i] presents at
+                # slot i^1) with matching ctts/trun composition
+                # offsets; the progressive variant also carries a
+                # NET-ZERO edit list (1 s empty edit + media_time 600
+                # at the 600-tick timescale) so both elst branches
+                # parse in the certification while every pixel/audio
+                # oracle stays layout-invariant (only fidx_sum sees
+                # the permutation).
+                reorder = (m % 7 == 2) and n_frames % 2 == 0
+                if reorder:
+                    dur_ts = 600 // fps
+                    stored = [frames[f ^ 1] for f in range(n_frames)]
+                    cts = [((f ^ 1) - f) * dur_ts for f in range(n_frames)]
+                else:
+                    stored, cts = frames, None
                 if m % 5 >= 3:
                     blob = encode_mp4_fragmented(
-                        frames, fps=fps, audio=audio, sample_rate=sample_rate,
+                        stored, fps=fps, audio=audio, sample_rate=sample_rate,
                         frames_per_fragment=1 + m % 3,
                         per_sample_fields=(m % 5 == 4),
+                        cts_offsets=cts,
                     )
                 else:
                     blob = encode_mp4(
-                        frames, fps=fps, audio=audio, sample_rate=sample_rate,
+                        stored, fps=fps, audio=audio, sample_rate=sample_rate,
                         samples_per_chunk=1 + m % 4, use_co64=(m % 2 == 1),
                         mdat_first=(m % 3 != 0),
+                        cts_offsets=cts,
+                        edit_media_time=600 if reorder else 0,
+                        edit_empty_dur=600 if reorder else 0,
                     )
                 rows.append((m, "video", blob, width, height,
                              int(n_frames * 1000 / fps)))

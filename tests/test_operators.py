@@ -1024,9 +1024,11 @@ def test_mp4_demuxer_against_hand_built_bytes():
 
 def test_mp4_typed_seams_and_corrupt():
     """Honest seams raise typed errors; malformed tables raise Mp4Error
-    (never garbage decode): fragmented files, edit lists, ctts,
-    truncation, stts/stsz disagreement, offsets past EOF, and pixel
-    decode of entropy-coded codecs (demux still works for those)."""
+    (never garbage decode): non-standard edit-list shapes, ctts that
+    disagrees with stsz, truncation, stts/stsz disagreement, offsets
+    past EOF, and pixel decode of entropy-coded codecs (demux still
+    works for those). HAND-built ctts/elst bytes (explicit struct.pack,
+    independent of the writer) pin the composition/edit parsing."""
     import struct
 
     import pytest
@@ -1036,11 +1038,43 @@ def test_mp4_typed_seams_and_corrupt():
     def box(t, p):
         return struct.pack(">I4s", 8 + len(p), t) + p
 
-    with pytest.raises(NotImplementedError, match="elst"):
-        m.parse_mp4(_hand_mp4(extra_trak=box(b"edts", b"")))
-    with pytest.raises(NotImplementedError, match="ctts"):
-        m.parse_mp4(_hand_mp4(extra_stbl=box(
-            b"ctts", b"\x00" * 4 + struct.pack(">I", 0))))
+    def full(t, vf, p):
+        return box(t, struct.pack(">I", vf) + p)
+
+    # hand-built ctts v0: offsets [100, 0] -> pts = dts + off = [100, 100]
+    ctts0 = full(b"ctts", 0, struct.pack(">IIIII", 2, 1, 100, 1, 0))
+    v = m.parse_mp4(_hand_mp4(extra_stbl=ctts0)).video()
+    assert v.dts.tolist() == [0, 100] and v.pts.tolist() == [100, 100]
+    # hand-built ctts v1: SIGNED offsets [0, -100] -> pts = [0, 0]
+    ctts1 = full(b"ctts", 1 << 24,
+                 struct.pack(">II", 2, 1) + struct.pack(">i", 0)
+                 + struct.pack(">I", 1) + struct.pack(">i", -100))
+    v = m.parse_mp4(_hand_mp4(extra_stbl=ctts1)).video()
+    assert v.pts.tolist() == [0, 0]
+    # hand-built elst v0: one forward edit media_time=100 -> pts - 100
+    elst = box(b"edts", full(b"elst", 0, struct.pack(">I", 1)
+                             + struct.pack(">IiHH", 200, 100, 1, 0)))
+    v = m.parse_mp4(_hand_mp4(extra_trak=elst)).video()
+    assert v.pts.tolist() == [-100, 0]  # first sample = trimmed pre-roll
+    # empty edts (no elst) is a no-op now
+    v = m.parse_mp4(_hand_mp4(extra_trak=box(b"edts", b""))).video()
+    assert v.pts.tolist() == [0, 100]
+
+    # ctts sample coverage must match stsz
+    bad_ctts = full(b"ctts", 0, struct.pack(">III", 1, 1, 100))
+    with pytest.raises(m.Mp4Error, match="ctts covers"):
+        m.parse_mp4(_hand_mp4(extra_stbl=bad_ctts))
+    # unsupported edit-list SHAPE stays a typed seam (two normal edits)
+    elst2 = box(b"edts", full(b"elst", 0, struct.pack(">I", 2)
+                              + struct.pack(">IiHH", 100, 0, 1, 0)
+                              + struct.pack(">IiHH", 100, 50, 1, 0)))
+    with pytest.raises(NotImplementedError, match="edit list shape"):
+        m.parse_mp4(_hand_mp4(extra_trak=elst2))
+    # rate-warped edit is a typed seam too
+    elst3 = box(b"edts", full(b"elst", 0, struct.pack(">I", 1)
+                              + struct.pack(">IiHH", 200, 0, 2, 0)))
+    with pytest.raises(NotImplementedError, match="edit list shape"):
+        m.parse_mp4(_hand_mp4(extra_trak=elst3))
     with pytest.raises(m.Mp4Error):
         m.parse_mp4(_hand_mp4()[:20])          # truncated inside mdat
     with pytest.raises(m.Mp4Error, match="stsz declares"):
@@ -1108,18 +1142,86 @@ def test_mp4_fragmented_roundtrip_and_seams():
         + full(b"trun", 0x1, struct.pack(">Ii", 1, 0))))
     with pytest.raises(NotImplementedError, match="default-base-is-moof"):
         m.parse_mp4(base + bad_tfhd)
-    # nonzero composition offsets are a typed seam
-    cts_trun = box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
-        b"traf", full(b"tfhd", 0x20018, struct.pack(">III", 1, 120, 144))
-        + full(b"trun", 0x801, struct.pack(">IiI", 1, 0, 7))))
-    with pytest.raises(NotImplementedError, match="cts"):
-        m.parse_mp4(base + cts_trun)
+    # nonzero composition offsets are REAL since late r6: a hand-built
+    # trun with a cts field (v0 unsigned, 7 ticks) shifts pts, and the
+    # sample bytes still decode. moof size is offset-independent, so
+    # compute doff in a probe pass exactly as the writer does.
+    def cts_moof(doff: int) -> bytes:
+        return box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
+            b"traf", full(b"tfhd", 0x20018, struct.pack(">III", 1, 120, 144))
+            + full(b"trun", 0x801, struct.pack(">IiI", 1, doff, 7))))
+
+    probe_m = cts_moof(0)
+    frame_bytes = frames[0].tobytes()  # 6*8*3 = 144 = tfhd default size
+    hand = base + cts_moof(len(probe_m) + 8) + box(b"mdat", frame_bytes)
+    info_c = m.parse_mp4(hand)
+    vc = info_c.video()
+    assert vc.n_samples == 1
+    assert vc.dts.tolist() == [0] and vc.pts.tolist() == [7]
+    assert (m.decode_raw_frames(hand, vc)[0] == frames[0]).all()
     # trun overrunning EOF is malformed, not garbage
     over_trun = box(b"moof", full(b"mfhd", 0, struct.pack(">I", 1)) + box(
         b"traf", full(b"tfhd", 0x20018, struct.pack(">III", 1, 120, 144))
         + full(b"trun", 0x1, struct.pack(">Ii", 1, 50000))))
     with pytest.raises(m.Mp4Error, match="overruns"):
         m.parse_mp4(base + over_trun)
+
+
+def test_mp4_ctts_elst_presentation_order():
+    """Composition offsets + edit lists end to end: frames stored in
+    DECODE order with a B-style reorder permutation must decode back in
+    PRESENTATION order via pts; fps-grid sampling follows what a viewer
+    sees at each tick; an empty edit delays pts and a media_time edit
+    trims pre-roll (negative pts); fragmented trun cts (both trun
+    layouts) parses identically to the progressive ctts; streams
+    without reordering keep pts == dts and the original sampling."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators import mp4_codec as m
+
+    # presentation frames F0..F5 (constant colors); stored order is the
+    # permutation perm (stored[i] is PRESENTED at slot perm[i])
+    perm = [0, 2, 1, 4, 3, 5]
+    dur = 600 // 30
+    frames_pres = [np.full((4, 4, 3), 10 * (k + 1), np.uint8)
+                   for k in range(6)]
+    stored = [frames_pres[perm[i]] for i in range(6)]
+    cts = [(perm[i] - i) * dur for i in range(6)]  # negative entries too
+
+    blob = m.encode_mp4(stored, fps=30, cts_offsets=cts)
+    v = m.parse_mp4(blob).video()
+    assert v.pts.tolist() == [perm[i] * dur for i in range(6)]
+    order = m.presentation_order(v)
+    dec = m.decode_raw_frames(blob, v, order)
+    assert all((d == f).all() for d, f in zip(dec, frames_pres))
+    # at the native fps every tick selects the presented frame: the
+    # stored indices come back in presentation order
+    idx = m.frame_indices_at_fps(v, 30)
+    assert [int(v.pts[i]) for i in idx] == [k * dur for k in range(6)]
+
+    # elst: 1 s empty edit (movie ts = 600) delays pts; media_time=dur
+    # trims one frame of pre-roll
+    blob2 = m.encode_mp4(stored, fps=30, cts_offsets=cts,
+                         edit_media_time=dur, edit_empty_dur=600)
+    v2 = m.parse_mp4(blob2).video()
+    assert v2.pts.tolist() == [perm[i] * dur - dur + 600 for i in range(6)]
+
+    # fragmented trun cts, both per-sample layouts, ragged fragments
+    for psf in (False, True):
+        blob3 = m.encode_mp4_fragmented(stored, fps=30, cts_offsets=cts,
+                                        per_sample_fields=psf,
+                                        frames_per_fragment=2)
+        v3 = m.parse_mp4(blob3).video()
+        assert v3.pts.tolist() == [perm[i] * dur for i in range(6)], psf
+        dec3 = m.decode_raw_frames(blob3, v3, m.presentation_order(v3))
+        assert all((d == f).all() for d, f in zip(dec3, frames_pres))
+
+    # no reordering: pts == dts, sampling identical to the dts grid
+    blob4 = m.encode_mp4(frames_pres, fps=30)
+    v4 = m.parse_mp4(blob4).video()
+    assert (v4.pts == v4.dts).all()
+    assert m.frame_indices_at_fps(v4, 30).tolist() == list(range(6))
+    assert m.presentation_order(v4).tolist() == list(range(6))
 
 
 def test_mp4_track_sums_spark(spark):
@@ -1146,4 +1248,7 @@ def test_mp4_track_sums_spark(spark):
         assert (row["r_sum"], row["g_sum"], row["b_sum"]) == (r_sum, g_sum, b_sum)
         assert (row["n_audio"], row["audio_sum"], row["audio_min"], row["audio_max"]) \
             == (512, int(pcm.sum()), int(pcm.min()), int(pcm.max()))
-        assert row["fidx_sum"] == 7   # frames 0+2+5 at 2fps over 1.2s@5fps
+        # frames at slots 0+2+5 at 2fps over 1.2s@5fps; id 2 stores a
+        # reorder permutation (ctts + net-zero elst), so the sampled
+        # STORED indices are the slots XOR 1 (1+3+4)
+        assert row["fidx_sum"] == (8 if mid % 7 == 2 else 7)
