@@ -56,11 +56,12 @@ surface — since r6 that surface includes float, date, binary,
 ``decimal(p,s)`` at ANY precision (p<=18 hashes the unscaled LONG,
 wider the ``BigInteger.toByteArray`` twos-complement bytes — both
 Spark-bit-equal), ``timestamp_ntz``, and ONE level of
-``array<scalar>`` / ``struct<scalar...>`` (element-chained hashing
-with null-skip, exact vectorized element-wise diff) alongside the
-original string/int/long/bool/timestamp/double — so what's left is
-maps, deeper nesting, timestamps INSIDE arrays/structs, and nested
-KEY columns — rejected when the stream is planned; and a
+``array<scalar>`` / ``struct<scalar...>`` over the FULL scalar set
+(element-chained hashing with null-skip, exact vectorized
+element-wise diff) alongside the original
+string/int/long/bool/timestamp/double — so what's left is maps,
+deeper nesting, and nested KEY columns — rejected when the stream is
+planned; and a
 caller-supplied ``.schema(...)`` must match the source schema exactly
 (a reordered payload would silently change the equal-LSN tie-break
 hash order). Non-UTF-8 BINARY payloads diff correctly in both planes:
@@ -193,10 +194,13 @@ SUPPORTED_TYPES = frozenset(
     }
 )
 
-# Scalar types additionally allowed INSIDE array<>/struct<> (timestamps
-# stay out of the nested surface: element-level tz localization in the
-# arrow output path is untested territory — a typed seam, not a risk).
-NESTED_SCALAR_TYPES = SUPPORTED_TYPES - {"timestamp", "timestamp_ntz"}
+# Scalar types additionally allowed INSIDE array<>/struct<> — the full
+# scalar surface: nested timestamps work because _to_arrow_batches
+# casts each output array to the declared arrow type (from_pandas
+# SILENTLY ignores a requested tz on arrow-backed input: a naive
+# list<timestamp[us]> stays naive where Spark's schema wants
+# tz-aware — the cast localizes the session-UTC micros explicitly).
+NESTED_SCALAR_TYPES = SUPPORTED_TYPES
 
 _DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
 
@@ -848,7 +852,14 @@ def _to_arrow_batches(pdf, out_schema, dtypes):
                     if s.dt.tz is None
                     else s.dt.tz_convert("UTC")
                 )
-            arrays.append(pa.Array.from_pandas(s, type=fld.type))
+            arr = pa.Array.from_pandas(s, type=fld.type)
+            if arr.type != fld.type:
+                # from_pandas IGNORES the requested type for
+                # arrow-backed input (e.g. a naive list<timestamp>
+                # where the schema wants tz-aware): cast explicitly —
+                # naive micros are session-UTC, so the cast localizes
+                arr = arr.cast(fld.type)
+            arrays.append(arr)
         yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
 
@@ -893,10 +904,9 @@ def _check_supported(root: str, snap: Snapshot) -> None:
         raise NotImplementedError(
             f"lake_cdf supports column types {sorted(SUPPORTED_TYPES)}, "
             f"decimal(p,s) at any precision, and ONE level of "
-            f"array<scalar>/struct<scalar...> (timestamps only at the "
-            f"top level); table {root} carries unsupported column(s) "
-            f"{bad} — use table_changes()/ChangeFeedConsumer for this "
-            f"table"
+            f"array<scalar>/struct<scalar...>; table {root} carries "
+            f"unsupported column(s) {bad} — use "
+            f"table_changes()/ChangeFeedConsumer for this table"
         )
     by_name = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
     nested_keys = [

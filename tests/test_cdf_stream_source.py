@@ -172,15 +172,19 @@ def test_python_xxhash64_matches_spark(spark):
     # SKIPPED ([1,null,2] == [1,2]; []/NULL leave the hash unchanged),
     # structs field-chain, wide decimals (p>18) hash their
     # BigInteger.toByteArray twos-complement bytes
+    _dt = datetime.datetime
     rows4 = [
         (["a", "b"], [1, None, 2], {"k": "x", "v": 1},
-         _dec.Decimal("123456789012345678901234.5678"), [1.5, float("nan")]),
-        (["a, b"], [], None, _dec.Decimal("-0.0001"), [-0.0]),
-        (None, None, {"k": None, "v": None}, None, None),
+         _dec.Decimal("123456789012345678901234.5678"), [1.5, float("nan")],
+         [_dt(2024, 5, 1, 12, 30, 15, 123456), None]),
+        (["a, b"], [], None, _dec.Decimal("-0.0001"), [-0.0],
+         [_dt(1969, 12, 31, 23, 59, 59)]),
+        (None, None, {"k": None, "v": None}, None, None, []),
         ([None, "x"], [0], {"k": "", "v": -1}, _dec.Decimal("0.0000"),
-         [0.0, None]),
+         [0.0, None], None),
         ([""], [1, 2], {"k": "y", "v": 2 ** 62},
-         _dec.Decimal("-99999999999999999999999999.9999"), [2.5] * 5),
+         _dec.Decimal("-99999999999999999999999999.9999"), [2.5] * 5,
+         [_dt(2024, 1, 1), _dt(2024, 1, 2)]),
     ]
     schema4 = T.StructType([
         T.StructField("ss", T.ArrayType(T.StringType())),
@@ -190,6 +194,7 @@ def test_python_xxhash64_matches_spark(spark):
             T.StructField("v", T.LongType())])),
         T.StructField("wd", T.DecimalType(30, 4)),
         T.StructField("dd", T.ArrayType(T.DoubleType())),
+        T.StructField("ts", T.ArrayType(T.TimestampType())),
     ])
     types4 = [f.dataType.simpleString() for f in schema4.fields]
     got4 = spark.createDataFrame(rows4, schema4).select(
@@ -694,11 +699,15 @@ def test_exotic_payload_types_stream_matches_batch_cdf(spark, tmp_path):
 
 
 def _canon(v):
-    """Hashable, NaN-stable canonical form for nested collect/arrow rows."""
+    """Hashable, NaN- and tz-stable canonical form for nested
+    collect/arrow rows (arrow yields tz-aware UTC datetimes where
+    collect() yields session-naive ones — same instant)."""
     import math
 
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
@@ -734,6 +743,7 @@ def test_nested_payload_types_stream_matches_batch_cdf(spark, tmp_path):
             T.StructField("k", T.StringType()),
             T.StructField("v", T.LongType())]), True),
         T.StructField("wd", T.DecimalType(30, 4), True),
+        T.StructField("tss", T.ArrayType(T.TimestampType()), True),
         T.StructField("_op", T.StringType(), False),
         T.StructField("_lsn", T.LongType(), False),
     ])
@@ -741,38 +751,40 @@ def test_nested_payload_types_stream_matches_batch_cdf(spark, tmp_path):
                          bucket_count=2)
     ev_schema = T.StructType(
         [T.StructField("_lsn", T.LongType(), False),
-         T.StructField("_op", T.StringType(), False)] + list(tschema.fields[:5])
+         T.StructField("_op", T.StringType(), False)] + list(tschema.fields[:6])
     )
     nan = float("nan")
+    ts0 = datetime.datetime(2024, 5, 1, 12, 30, 15, 123456)
+    ts1 = datetime.datetime(1969, 12, 31, 23, 59, 59)
     merge_into(t, spark.createDataFrame([
         (1, "I", "a", ["a, b"], [1.0, nan], {"k": "x", "v": 1},
-         _dec.Decimal("1.5000")),
-        (2, "I", "b", [], [0.0], None, _dec.Decimal("-2.0000")),
-        (3, "I", "c", None, None, {"k": None, "v": 2}, None),
+         _dec.Decimal("1.5000"), [ts0, None]),
+        (2, "I", "b", [], [0.0], None, _dec.Decimal("-2.0000"), []),
+        (3, "I", "c", None, None, {"k": None, "v": 2}, None, None),
         (4, "I", "d", ["keep"], [2.5], {"k": "z", "v": 9},
-         _dec.Decimal("7.0000")),
+         _dec.Decimal("7.0000"), [ts1]),
     ], ev_schema), "b1")
     v1 = t.current_version()
     merge_into(t, spark.createDataFrame([
         # ONLY ['a, b'] -> ['a','b']: both cast to '[a, b]' — ambiguous
         (5, "U", "a", ["a", "b"], [1.0, nan], {"k": "x", "v": 1},
-         _dec.Decimal("1.5000")),
+         _dec.Decimal("1.5000"), [ts0, None]),
         # [] -> NULL array AND 0.0 -> -0.0 element
-        (6, "U", "b", None, [-0.0], None, _dec.Decimal("-2.0000")),
+        (6, "U", "b", None, [-0.0], None, _dec.Decimal("-2.0000"), []),
         # byte-identical re-assert (NaN element included): NOT a change
-        (7, "U", "c", None, None, {"k": None, "v": 2}, None),
-        # struct field -> null: a change
+        (7, "U", "c", None, None, {"k": None, "v": 2}, None, None),
+        # struct field -> null AND a nested pre-epoch timestamp edit
         (8, "U", "d", ["keep"], [2.5], {"k": "z", "v": None},
-         _dec.Decimal("7.0000")),
+         _dec.Decimal("7.0000"), [ts1, ts0]),
         # equal-LSN tie on a fresh key: winner = nested tie-break hash
         (9, "I", "e", ["t1"], [1.0], {"k": "a", "v": 1},
-         _dec.Decimal("1.0000")),
+         _dec.Decimal("1.0000"), [ts0]),
         (9, "I", "e", ["t2"], [2.0], {"k": "b", "v": 2},
-         _dec.Decimal("2.0000")),
+         _dec.Decimal("2.0000"), [ts1]),
     ], ev_schema), "b2")
     v2 = t.current_version()
 
-    cols = ["_change", "id", "tags", "scores", "meta", "wd", "_lsn"]
+    cols = ["_change", "id", "tags", "scores", "meta", "wd", "tss", "_lsn"]
     rd = _CdfStreamReader({"path": root})
     for sv, ev_ in [(v1, v2), (0, v2)]:
         got = set()
@@ -897,19 +909,22 @@ def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     with pytest.raises(NotImplementedError, match=r"m:map<string,string>"):
         _CdfStreamReader({"path": root})  # plan time, not first tie
 
-    # deeper nesting and nested timestamps are seams too
+    # deeper nesting (array-of-array, array-in-struct) is a seam too
     root2 = str(tmp_path / "dt2")
     schema2 = T.StructType([
         T.StructField("id", T.StringType(), False),
         T.StructField("aa", T.ArrayType(T.ArrayType(T.LongType())), True),
-        T.StructField("at", T.ArrayType(T.TimestampType()), True),
+        T.StructField("sa", T.StructType([
+            T.StructField("a", T.ArrayType(T.LongType()))]), True),
         T.StructField("_op", T.StringType(), False),
         T.StructField("_lsn", T.LongType(), False),
     ])
     LakeTable.create(spark, root2, schema=schema2, key_cols=["id"],
                      bucket_count=2)
-    with pytest.raises(NotImplementedError,
-                       match=r"aa:array<array<bigint>>.*at:array<timestamp>"):
+    with pytest.raises(
+        NotImplementedError,
+        match=r"aa:array<array<bigint>>.*sa:struct<a:array<bigint>>",
+    ):
         _CdfStreamReader({"path": root2})
 
     # nested KEY columns fail typed even though the TYPE is supported
