@@ -1745,16 +1745,22 @@ def q_multimodal_real_decode(spark, sf_dir):
     more JPEG payloads (media_id 100..107) are **12-bit SOF1
     grayscale** (level shift 2048, 16-bit DQT, extended DC huffman
     table, uint16 decode) — constant blocks valued mod 4096, still
-    integer-exact. Projected as per-channel integer pixel SUMS, so the
+    integer-exact. Eight more (media_id 200..207) are **LOSSLESS
+    (SOF3)** payloads — per-pixel 16-bit grayscale / 8-bit RGB
+    patterns through all seven Annex-H predictors and a restart
+    interval; lossless, so arbitrary patterns certify exactly. Projected as per-channel integer pixel SUMS, so the
     DuckDB twin recomputing the patterns must match exactly. This is
     pixels actually decoded from real image bytes, not the
     byte-statistics stub (sf-independent by design: fixed id sets)."""
     ppm = multimodal.synthetic_ppm_media(spark, 16, width=32, height=24)
     jpg = multimodal.synthetic_jpeg_media(spark, 16, width=32, height=24)
     j12 = multimodal.synthetic_jpeg12_media(spark, 8, width=32, height=24)
+    jls = multimodal.synthetic_jpeg_lossless_media(spark, 8, width=32,
+                                                   height=24)
     png = multimodal.synthetic_png_media(spark, 16, width=32, height=24)
     return multimodal.image_channel_sums(
-        ppm.unionByName(jpg).unionByName(j12).unionByName(png)
+        ppm.unionByName(jpg).unionByName(j12).unionByName(jls)
+        .unionByName(png)
     )
 
 
@@ -1815,6 +1821,26 @@ SELECT media_id, 'jpeg' AS fmt,
        CAST(sum(64 * ((media_id * 97 + bx * 31 + by * 57) % 4096)) AS BIGINT) AS g_sum,
        CAST(sum(64 * ((media_id * 97 + bx * 31 + by * 57) % 4096)) AS BIGINT) AS b_sum
 FROM (SELECT unnest(generate_series(100, 107)) AS media_id) ids12, blocks
+GROUP BY media_id
+UNION ALL
+-- media_id 200..207: LOSSLESS (SOF3) JPEG — any pattern certifies
+-- exactly. Even ids: 16-bit grayscale (x*131 + y*61 + id*257) %% 65536
+-- replicated to r=g=b; odd ids: 8-bit RGB gradients. Predictor
+-- rotates by id (exactness is predictor-independent: lossless).
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(sum((x * 131 + y * 61 + media_id * 257) % 65536) AS BIGINT) AS r_sum,
+       CAST(sum((x * 131 + y * 61 + media_id * 257) % 65536) AS BIGINT) AS g_sum,
+       CAST(sum((x * 131 + y * 61 + media_id * 257) % 65536) AS BIGINT) AS b_sum
+FROM (SELECT unnest(generate_series(200, 207)) AS media_id) idsl, grid
+WHERE media_id % 2 = 0
+GROUP BY media_id
+UNION ALL
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(sum((x * 3 + media_id) % 256) AS BIGINT)          AS r_sum,
+       CAST(sum((y * 5 + media_id * 7) % 256) AS BIGINT)      AS g_sum,
+       CAST(sum((x + y + media_id * 11) % 256) AS BIGINT)     AS b_sum
+FROM (SELECT unnest(generate_series(200, 207)) AS media_id) idsl, grid
+WHERE media_id % 2 = 1
 GROUP BY media_id
 UNION ALL
 -- PNG ids % 5 in (0,1,2): the same RGB gradient emitted as plain

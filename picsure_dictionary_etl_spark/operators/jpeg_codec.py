@@ -12,10 +12,13 @@ per T.81 G.1.2) and **non-interleaved multi-scan baseline** files
 (same coefficient-buffer machinery as progressive), plus a minimal
 writer used to mint deterministic certification payloads (sequential,
 progressive or multi-scan; 4:4:4 or subsampled; 8-bit, or 12-bit
-grayscale via ``encode_jpeg(..., precision=12)``). Arithmetic coding,
-12-bit COLOR, hierarchical (SOF5-7/13-15) and lossless modes stay an
-honest ``NotImplementedError`` seam — exactly like the PPM/WAV split
-in ``operators/multimodal.py``.
+grayscale via ``encode_jpeg(..., precision=12)``), and **lossless**
+(SOF3, T.81 Annex H: predictors 1-7, modulo-2^16 differences,
+point transform, restart intervals, 2..16-bit samples, up to 4
+components — lossless, so ANY pattern certifies exactly, like PNG).
+Arithmetic coding, 12-bit COLOR in the DCT modes, and hierarchical
+(SOF5-7/13-15) stay an honest ``NotImplementedError`` seam — exactly
+like the PPM/WAV split in ``operators/multimodal.py``.
 
 Subsampled chroma upsamples by pixel replication (JFIF allows any
 upsampling filter; replication is the exact inverse of box-average
@@ -200,10 +203,11 @@ class _BitReader:
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode a baseline sequential (SOF0, single- OR multi-scan) or
     progressive (SOF2) JFIF payload to an (h, w, 3) uint8 array
-    (grayscale replicated across channels). Raises ``ValueError`` on
-    malformed data and ``NotImplementedError`` on
-    legal-but-unsupported variants (arithmetic coding, 12-bit,
-    hierarchical/lossless modes)."""
+    (grayscale replicated across channels; 12-bit and 16-bit lossless
+    frames return uint16). Lossless (SOF3) frames delegate to
+    :func:`decode_jpeg_lossless`. Raises ``ValueError`` on malformed
+    data and ``NotImplementedError`` on legal-but-unsupported variants
+    (arithmetic coding, hierarchical modes)."""
     if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
 
@@ -245,10 +249,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
                     j += 128
                 qt[tid] = tbl.astype(np.int32)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:  # lossless: dedicated Annex-H path
+            arr = decode_jpeg_lossless(b)
+            if arr.ndim == 2:
+                return np.repeat(arr[..., None], 3, axis=-1)
+            if arr.shape[2] == 3:
+                return arr
             raise NotImplementedError(
-                f"only sequential (SOF0/SOF1) and progressive (SOF2) "
-                f"huffman JPEG supported, got SOF{marker - 0xC0}"
+                f"decode_jpeg wraps 1- or 3-component lossless frames; "
+                f"got {arr.shape[2]} components (use decode_jpeg_lossless)"
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only sequential (SOF0/SOF1), progressive (SOF2) and "
+                f"lossless (SOF3) huffman JPEG supported, got "
+                f"SOF{marker - 0xC0}"
             )
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             progressive = marker == 0xC2
@@ -1001,3 +1016,231 @@ def _encode_block(wtr, zz, pred, ci, dc_codes, ac_codes):
     if run:
         code, ln = ac_codes[0x00]
         wtr.put(code, ln)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+# Difference-category table extended to SSSS 0..16 (category 16 =
+# diff 32768, NO extension bits — T.81 H.2): the Annex-K DC luminance
+# table canonically extended one code length per extra category, the
+# same construction as DC_LUM_BITS_12 (Kraft slack keeps the all-ones
+# code reserved).
+DC_LOSSLESS_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+DC_LOSSLESS_VALS = list(range(17))
+
+
+def _lossless_core(ra, rb, rc, sel: int):
+    """T.81 Table H.1 predictors 1-7 (works on ints and numpy arrays;
+    the /2 is an arithmetic right shift per H.1.2.1)."""
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor {sel} out of range 1..7")
+
+
+def encode_jpeg_lossless(img, predictor: int = 4, point_transform: int = 0,
+                         restart_interval: int = 0,
+                         precision: int | None = None) -> bytes:
+    """Write a LOSSLESS (SOF3) JFIF from an (h, w) or (h, w, n) uint
+    array, n <= 4 components, 2..16-bit precision. Per T.81 Annex H:
+    per-sample prediction (predictor 1-7, first line Ra, first column
+    Rb, very first sample 2^(P-Pt-1)), modulo-2^16 differences
+    huffman-coded as DC-style categories (SSSS 16 = 32768, no
+    extension bits), optional point transform (samples shifted right
+    by Pt before coding) and restart intervals (prediction resets at
+    each interval's first MCU). The prediction pass is fully
+    vectorized (diffs computed from the ORIGINAL samples — lossless
+    means reconstructed == original, so encode needs no sequential
+    loop beyond bit emission)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
+        planes = [img[..., c] for c in range(img.shape[2])]
+    else:
+        raise ValueError("expected (h, w) or (h, w, n<=4) sample array")
+    h, w = planes[0].shape
+    n = len(planes)
+    if precision is None:
+        hi = max(int(p.max(initial=0)) for p in planes)
+        precision = 8 if hi < 256 else (12 if hi < 4096 else 16)
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16 (T.81 B.3.2)")
+    pt = point_transform
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    xs = [p.astype(np.int64) >> pt for p in planes]
+    if any(int(x.max(initial=0)) >= (1 << (precision - pt)) for x in xs):
+        raise ValueError("samples exceed the declared precision")
+    default = 1 << (precision - pt - 1)
+
+    diffs = []
+    for x in xs:
+        pred = np.empty((h, w), np.int64)
+        pred[0, 0] = default
+        if w > 1:
+            pred[0, 1:] = x[0, :-1]                      # first line: Ra
+        if h > 1:
+            pred[1:, 0] = x[:-1, 0]                      # first column: Rb
+        if h > 1 and w > 1:
+            pred[1:, 1:] = _lossless_core(
+                x[1:, :-1], x[:-1, 1:], x[:-1, :-1], predictor)
+        if restart_interval:
+            m = np.arange(h * w).reshape(h, w)
+            pred[(m % restart_interval == 0) & (m > 0)] = default
+        d = (x - pred) & 0xFFFF
+        diffs.append(np.where(d >= 32768, d - 65536, d).astype(np.int64))
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Tq ignored (H.1)
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LOSSLESS_BITS)
+                + bytes(DC_LOSSLESS_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _sos(list(range(1, n + 1)), predictor, 0, 0, pt)
+
+    codes = _canonical_codes(DC_LOSSLESS_BITS, DC_LOSSLESS_VALS)
+    wtr = _BitWriter()
+    flat = [d.reshape(-1) for d in diffs]
+    rst = 0
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wtr = _BitWriter()
+        for d in flat:
+            v = int(d[m])
+            if v == -32768:  # ≡ 32768 (mod 2^16): category 16, no bits
+                code, ln = codes[16]
+                wtr.put(code, ln)
+                continue
+            s = abs(v).bit_length()
+            code, ln = codes[s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless(b: bytes) -> np.ndarray:
+    """Decode a LOSSLESS (SOF3) huffman JPEG to an (h, w) or (h, w, n)
+    integer array (uint8 for precision <= 8, else uint16), exactly
+    inverting :func:`encode_jpeg_lossless`: per-sample prediction with
+    the scan-selected predictor, modulo-2^16 reconstruction, point
+    transform undone by a left shift, restart intervals resetting the
+    prediction. Interleaved single-scan streams only (one scan listing
+    every component — the shape this module writes); non-interleaved
+    lossless stays a typed seam."""
+    if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    huff: dict[int, dict] = {}
+    frame = None
+    dri = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        marker = b[i + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xC3:
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"illegal lossless precision {prec}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv = seg[6 + 3 * c], seg[7 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless decode supports 1x1 sampling only")
+                comps.append(cid)
+            frame = (h, w, comps, prec)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            raise ValueError("decode_jpeg_lossless: not a lossless frame")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                if cls == 0:
+                    huff[tid] = _decode_table(bits, list(seg[j + 17 : j + 17 + nv]))
+                j += 17 + nv
+        elif marker == 0xDD:
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF3")
+            h, w, comps, prec = frame
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved lossless scans unsupported")
+            tables = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                tables.append(huff[tt >> 4])
+            sel = seg[1 + 2 * ns]           # Ss = predictor
+            pt = seg[3 + 2 * ns] & 0x0F     # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(f"lossless predictor {sel} out of range")
+            default = 1 << (prec - pt - 1)
+            planes = [np.zeros((h, w), np.int64) for _ in comps]
+            reader = _BitReader(b, i + 2 + seg_len)
+            for m in range(h * w):
+                if dri and m and m % dri == 0:
+                    reader.restart()
+                y, x = divmod(m, w)
+                for pl, tbl in zip(planes, tables):
+                    s = reader.huff(tbl)
+                    if s == 16:
+                        d = 32768
+                    elif s:
+                        d = _extend(reader.bits(s), s)
+                    else:
+                        d = 0
+                    if m == 0 or (dri and m % dri == 0):
+                        pred = default
+                    elif y == 0:
+                        pred = int(pl[0, x - 1])
+                    elif x == 0:
+                        pred = int(pl[y - 1, 0])
+                    else:
+                        pred = _lossless_core(
+                            int(pl[y, x - 1]), int(pl[y - 1, x]),
+                            int(pl[y - 1, x - 1]), sel)
+                    pl[y, x] = (pred + d) & 0xFFFF
+            dt = np.uint8 if prec <= 8 else np.uint16
+            outs = [(pl << pt).astype(dt) for pl in planes]
+            if len(outs) == 1:
+                return outs[0]
+            return np.stack(outs, axis=-1)
+        i += 2 + seg_len
+    raise ValueError("no scan (SOS) found")

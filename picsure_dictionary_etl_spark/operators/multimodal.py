@@ -210,17 +210,18 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 def decode_real(media: DataFrame):  # pragma: no cover - documented stub
     """Stub seam for codecs the container can't decode (H.264/HEVC
-    video essence, arithmetic-coded/hierarchical/lossless JPEG). PPM
-    images, huffman JPEG (sequential + progressive, incl. 4:2:0/4:2:2
-    subsampling, multi-scan and 12-bit SOF1 grayscale), PNG (all color
+    video essence, arithmetic-coded/hierarchical JPEG). PPM images,
+    huffman JPEG (sequential + progressive, incl. 4:2:0/4:2:2
+    subsampling, multi-scan, 12-bit SOF1 grayscale, AND lossless SOF3
+    with predictors 1-7 / point transform / restarts), PNG (all color
     types, depths and both interlace methods), PCM WAV audio and MP4
     containers carrying ``'raw '`` RGB video / PCM audio decode for
     real — see :func:`decode_media` / :func:`resize_ppm_images` /
     :func:`image_channel_sums` / :func:`mp4_track_sums`."""
     raise NotImplementedError(
         "entropy-coded video essence (H.264/HEVC) and arithmetic-coded/"
-        "hierarchical/lossless JPEG are not available in this "
-        "environment; PPM, JPEG (incl. 12-bit grayscale), PNG, WAV and "
+        "hierarchical JPEG are not available in this environment; PPM, "
+        "JPEG (incl. 12-bit grayscale and lossless SOF3), PNG, WAV and "
         "raw-video/PCM MP4 payloads decode for real via "
         "decode_media()/image_channel_sums()/mp4_track_sums()"
     )
@@ -676,6 +677,50 @@ def synthetic_jpeg12_media(spark, n: int, width: int = 32, height: int = 24) -> 
                 rows.append((mid, "image", payload, width, height, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_lossless_media(spark, n: int, width: int = 32,
+                                  height: int = 24) -> DataFrame:
+    """Deterministic REAL **lossless** (SOF3, T.81 Annex H) JPEG
+    payloads. Lossless means ANY per-pixel pattern certifies exactly
+    (no constant-block trick needed — same argument as PNG): even ids
+    are 16-bit grayscale ``(x*131 + y*61 + mid*257) % 65536`` (with a
+    restart interval on ids ≡ 0 mod 4), odd ids are 8-bit RGB
+    gradients; the predictor rotates ``1 + mid % 7`` so all seven
+    Annex-H predictors ship in one driver query. ``media_id`` offset
+    200 unions cleanly with the other JPEG sets."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid) + 200
+                pred = 1 + mid % 7
+                if mid % 2 == 0:
+                    img = ((xx * 131 + yy * 61 + mid * 257) % 65536
+                           ).astype(np.uint16)
+                    payload = encode_jpeg_lossless(
+                        img, predictor=pred, precision=16,
+                        restart_interval=7 if mid % 4 == 0 else 0)
+                else:
+                    r = (xx * 3 + mid) % 256
+                    g = (yy * 5 + mid * 7) % 256
+                    b = (xx + yy + mid * 11) % 256
+                    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                    payload = encode_jpeg_lossless(img, predictor=pred)
+                rows.append((mid, "image", payload, width, height, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "duration_ms"])
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 

@@ -416,12 +416,15 @@ def test_jpeg_honest_seams_and_corrupt():
     from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
 
     sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    # arithmetic-coded (SOF9) and lossless (SOF3) stay typed seams;
-    # progressive (SOF2) decodes for real since r6
+    # arithmetic-coded (SOF9) stays a typed seam; progressive (SOF2)
+    # decodes for real since r6 and lossless (SOF3) since late r6
     with pytest.raises(NotImplementedError, match="SOF9"):
         jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC9, sof_payload))
-    with pytest.raises(NotImplementedError, match="SOF3"):
-        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC3, sof_payload))
+    # a lossless frame with subsampled components is ITS typed seam
+    sof3_sub = bytes([8, 0, 8, 0, 16, 2, 1, 0x21, 0, 2, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="1x1 sampling"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC3, sof3_sub)
+                       + jc._seg(0xDA, bytes([2, 1, 0, 2, 0, 1, 0, 0])))
     # non-DIVIDING sampling factors (3,2 luma vs 2,1 chroma) stay a
     # typed seam; plain 4:2:0/4:2:2 decode for real since r6
     weird = bytes([8, 0, 16, 0, 16, 3, 1, 0x32, 0, 2, 0x21, 1, 3, 0x11, 1])
@@ -912,6 +915,83 @@ def test_resize_ppm_mixed_corpus_and_corrupt(spark):
 # ---------------------------------------------------------------------------
 # MP4 (ISO BMFF) codec — from-scratch demuxer/writer (operators/mp4_codec.py)
 # ---------------------------------------------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_and_hand_pin():
+    """LOSSLESS (SOF3) JPEG: exact roundtrip on ARBITRARY patterns
+    (lossless needs no constant-block trick) across all 7 Annex-H
+    predictors, 8/12/16-bit precision, 1- and 3-component frames,
+    ragged/degenerate dims, restart intervals and the point transform;
+    the decoder is additionally pinned against HAND-assembled bytes
+    (explicit code table + literal bit string, independent of the
+    writer); decode_jpeg dispatches SOF3 and replicates grayscale."""
+    import numpy as np
+    import pytest
+
+    from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(42)
+    # predictor x precision matrix on random content
+    for pred in range(1, 8):
+        for prec, hi in ((8, 256), (12, 4096), (16, 65536)):
+            img = rng.integers(0, hi, (11, 13)).astype(
+                np.uint8 if prec == 8 else np.uint16)
+            blob = jc.encode_jpeg_lossless(img, predictor=pred,
+                                           precision=prec)
+            back = jc.decode_jpeg_lossless(blob)
+            assert back.dtype == img.dtype and (back == img).all(), \
+                (pred, prec)
+    # 3-component RGB + restart intervals (prediction resets pinned by
+    # exactness: a wrong reset rule cannot round-trip)
+    rgb = rng.integers(0, 256, (10, 9, 3)).astype(np.uint8)
+    for ri in (0, 1, 5, 90):
+        blob = jc.encode_jpeg_lossless(rgb, predictor=4,
+                                       restart_interval=ri)
+        assert (jc.decode_jpeg_lossless(blob) == rgb).all(), ri
+    # point transform: decode returns samples << Pt (low bits dropped)
+    i12 = rng.integers(0, 4096, (6, 7)).astype(np.uint16)
+    blob = jc.encode_jpeg_lossless(i12, predictor=5, point_transform=3)
+    assert (jc.decode_jpeg_lossless(blob) == (i12 >> 3 << 3)).all()
+    # degenerate dims: single row, single column, single pixel
+    for shape in ((1, 7), (7, 1), (1, 1)):
+        img = rng.integers(0, 65536, shape).astype(np.uint16)
+        blob = jc.encode_jpeg_lossless(img, predictor=7, precision=16)
+        assert (jc.decode_jpeg_lossless(blob) == img).all(), shape
+    # decode_jpeg dispatch: grayscale replicates, RGB passes through
+    g = rng.integers(0, 256, (5, 4)).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg_lossless(g, predictor=1))
+    assert out.shape == (5, 4, 3) and (out == g[..., None]).all()
+    out3 = jc.decode_jpeg(jc.encode_jpeg_lossless(rgb, predictor=2))
+    assert (out3 == rgb).all()
+
+    # HAND-pinned decode: 2x2 8-bit, predictor 1, samples
+    # [[100, 101], [103, 99]]. Categories/bits derived longhand from
+    # the canonical table (len2: cat0=00; len3: cat1=010 ... cat5=110;
+    # ...), T.81 H.1 prediction (first sample 128, first line Ra,
+    # first column Rb), F.12 EXTEND for negatives:
+    #   m0: diff -28  -> cat5 '110'  + ext 5 bits of (-28+31)=3 '00011'
+    #   m1: diff  +1  -> cat1 '010'  + ext '1'
+    #   m2: diff  +3  -> cat2 '011'  + ext '11'
+    #   m3: diff  -4  -> cat3 '100'  + ext (-4+7)=3 '011'
+    bits = "110" + "00011" + "010" + "1" + "011" + "11" + "100" + "011"
+    bits += "1" * (-len(bits) % 8)  # 1-fill pad (F.1.2.3)
+    entropy = bytes(int(bits[k : k + 8], 2) for k in range(0, len(bits), 8))
+    hand = (b"\xff\xd8"
+            + jc._seg(0xC3, bytes([8, 0, 2, 0, 2, 1, 1, 0x11, 0]))
+            + jc._seg(0xC4, bytes([0x00]) + bytes(jc.DC_LOSSLESS_BITS)
+                      + bytes(jc.DC_LOSSLESS_VALS))
+            + jc._seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+            + entropy + b"\xff\xd9")
+    assert jc.decode_jpeg_lossless(hand).tolist() == [[100, 101], [103, 99]]
+
+    # malformed: predictor 0 in the scan header
+    bad = hand.replace(bytes([1, 1, 0x00, 1, 0, 0]),
+                       bytes([1, 1, 0x00, 0, 0, 0]))
+    with pytest.raises(ValueError, match="predictor"):
+        jc.decode_jpeg_lossless(bad)
+    # 5-component frames exceed the scan limit the writer enforces
+    with pytest.raises(ValueError, match=r"n<=4"):
+        jc.encode_jpeg_lossless(np.zeros((4, 4, 5), np.uint8))
 
 
 def _hand_mp4(codec=b"raw ", stsz_count=2, stco0=24, extra_trak=b"",
