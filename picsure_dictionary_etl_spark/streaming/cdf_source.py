@@ -43,6 +43,16 @@ Scale design (mirrors :func:`~..lake.merge.table_changes` exactly):
   plain Python workers with no JVM for Hadoop FileSystems; plain paths
   keep the POSIX fast path. Unresolvable schemes raise a typed
   NotImplementedError at plan time.
+* **Initial-snapshot bootstrap**: ``.option("initialsnapshot",
+  "true")`` makes the first micro-batch deliver the table's full
+  resolved state as ``I`` rows (old side = EMPTY) and subsequent
+  batches stream incrementally — the Delta initial-snapshot analog,
+  and the only sound way to bootstrap a consumer of a table whose
+  early history is vacuumed (``startversion=0`` raises
+  ChangeFeedRetentionError; the oldest RETAINED version would silently
+  miss keys last touched before it). The bootstrap span is never
+  paced: intermediate versions may not exist, and ``diff(EMPTY, v_k)``
+  is the full state at whatever ``k`` the first trigger picks.
 * **Field-wise (``_pu``) tables resolve natively**: the pandas twin of
   :func:`~..lake.merge.lww_winners_fieldwise` applies the full-row
   marker rules (full rows specify EVERY field at their LSN, nulls
@@ -934,6 +944,25 @@ class _CdfStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("lake_cdf requires .option('path', <table_root>)")
         self.start_version = int(options.get("startversion", 0))
+        # initial-snapshot bootstrap (the Delta initial-snapshot
+        # analog): the stream's FIRST span treats the old side as
+        # EMPTY, so batch one delivers the table's full resolved state
+        # as 'I' rows and later spans stream incrementally. This is
+        # how a consumer/mirror bootstraps a table whose early history
+        # is beyond retention (vacuumed v0 ⇒ startversion=0 raises
+        # ChangeFeedRetentionError, and starting at the oldest RETAINED
+        # version would silently miss every key last touched before
+        # it). Encoded as offset version -1 — correct under pacing by
+        # construction, because diff(EMPTY, v_k) is the full state at
+        # ANY first-span end k.
+        if options.get("initialsnapshot", "false").lower() in ("true", "1"):
+            if "startversion" in options:
+                raise ValueError(
+                    "initialsnapshot and startversion are mutually "
+                    "exclusive: the bootstrap span delivers the full "
+                    "state at the first batch's end version"
+                )
+            self.start_version = -1
         # catch-up rate limit: cap how many table VERSIONS one
         # micro-batch may span (0 = unbounded). A stream resuming after
         # a long gap otherwise plans a single batch over every pending
@@ -1022,7 +1051,11 @@ class _CdfStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
-        if self._last_end is not None:
+        # pacing never applies to the initial-snapshot span (cursor
+        # -1): the bootstrap jumps straight to a RETAINED version —
+        # intermediate versions may be vacuumed, and a snapshot is one
+        # unit of work regardless of how many versions it covers
+        if self._last_end is not None and self._last_end >= 0:
             if self.max_versions:
                 cur = min(cur, self._last_end + self.max_versions)
             if self.max_bytes and cur > self._last_end + 1:
@@ -1039,14 +1072,18 @@ class _CdfStreamReader(DataSourceStreamReader):
         admitted. Files missing from file_sizes (pre-size-tracking
         manifests) count as 0 — the budget is an estimate, never a
         correctness gate."""
-        prev = _load_snapshot(self.root, start)
+        # start == -1 (initial-snapshot bootstrap): the pre-snapshot
+        # state is EMPTY, so every file of the first version is new
+        prev_files: dict = (
+            {} if start < 0 else _load_snapshot(self.root, start).files
+        )
         total = 0
         end = start + 1
         for v in range(start + 1, cur + 1):
             snap = _load_snapshot(self.root, v)
             step = 0
             for b, files in snap.files.items():
-                old = set(prev.files.get(b, ()))
+                old = set(prev_files.get(b, ()))
                 step += sum(
                     snap.file_sizes.get(f, 0) for f in files if f not in old
                 )
@@ -1054,7 +1091,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                 break
             total += step
             end = v
-            prev = snap
+            prev_files = snap.files
             if total >= self.max_bytes:
                 break
         return end
@@ -1076,8 +1113,17 @@ class _CdfStreamReader(DataSourceStreamReader):
         # first (fresh runner process); keep the pace cursor monotone
         if self._last_end is None or ev > self._last_end:
             self._last_end = ev
-        snap_from = _load_snapshot(self.root, sv)
+        if ev < 0:  # pre-snapshot replay (restart before first commit)
+            return []
         snap_to = _load_snapshot(self.root, ev)
+        if sv < 0:
+            # initial-snapshot bootstrap: the old side is EMPTY, so the
+            # span's diff IS the full resolved state at ev as 'I' rows
+            import dataclasses as _dc
+
+            snap_from = _dc.replace(snap_to, files={}, file_sizes={})
+        else:
+            snap_from = _load_snapshot(self.root, sv)
         _check_supported(self.root, snap_to)
         same_layout = (
             snap_from.bucket_count == snap_to.bucket_count

@@ -94,7 +94,10 @@ def mirror_table(
     "N"}`` to bound each micro-batch; Python sources run ONE micro-batch
     per availableNow pass, so paced catch-up takes several calls on the
     same checkpoint — each pass picks up exactly where the offset log
-    left off).
+    left off). To mirror a table whose early history is vacuumed, pass
+    ``reader_options={"initialsnapshot": "true"}`` — the first epoch
+    applies the source's full resolved state as inserts, later epochs
+    stream incrementally (streaming/cdf_source.py bootstrap).
     """
     from picsure_dictionary_etl_spark.streaming.cdf_source import (
         LakeChangeFeedDataSource,

@@ -883,6 +883,106 @@ def test_fieldwise_table_with_array_column_streams(spark, tmp_path):
     assert by_id["b"][3] == "keep"  # unspecified scalar held
 
 
+def test_initial_snapshot_bootstraps_vacuumed_history(spark, tmp_path):
+    """`.option("initialsnapshot", "true")`: the FIRST micro-batch
+    delivers the table's full resolved state as 'I' rows (old side =
+    EMPTY) even when v0 is beyond retention — the only sound bootstrap
+    for a vacuumed table (startversion=0 raises retention, and the
+    oldest retained version would silently miss keys last touched
+    before it). Later batches stream incrementally from the same
+    checkpoint; pacing never slices the bootstrap span."""
+    from picsure_dictionary_etl_spark.lake.consume import (
+        ChangeFeedRetentionError,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import resolve_live
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+    )
+
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root = str(tmp_path / "t")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "hello", None, TS),
+        (2, "I", "c2", 0, "user", "early key", None, TS)]), "b1")
+    r.apply_batch(_ev(spark, [
+        (3, "U", "c1", 0, "user", "hello v2", None, TS)]), "b2")
+    r.apply_batch(_ev(spark, [
+        (4, "I", "c3", 0, "user", "late key", None, TS)]), "b3")
+    t = LakeTable.load(spark, root)
+    t.vacuum(keep_snapshots=2)  # v0/v1 gone: c2 only exists pre-retention
+
+    # plain startversion=0 is beyond retention now
+    with pytest.raises(ChangeFeedRetentionError):
+        rd = _CdfStreamReader({"path": root})
+        rd.partitions({"version": 0}, {"version": t.current_version()})
+
+    # bootstrap: one availableNow pass == the FULL live state as I rows
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    got = _collect_stream_opts(spark, root, ckpt, out,
+                               {"initialsnapshot": "true"})
+    live = resolve_live(t.read(), ["conv_id", "turn_idx"],
+                        ["role", "text", "tool", "ts"])
+    want = {("I",) + tuple(r) for r in live.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"
+    ).collect()}
+    assert got == want and {r[1] for r in got} == {"c1", "c2", "c3"}
+    assert all(r[0] == "I" for r in got)
+
+    # the SAME checkpoint continues incrementally
+    v_before = t.current_version()
+    r.apply_batch(_ev(spark, [
+        (5, "U", "c2", 0, "user", "edited later", None, TS),
+        (6, "D", "c3", 0, None, None, None, None)]), "b4")
+    got2 = _collect_stream_opts(spark, root, ckpt, out,
+                                {"initialsnapshot": "true"})
+    want2 = {tuple(r) for r in
+             table_changes(t, v_before, t.current_version())
+             .select(*COLS).collect()}
+    assert got2 == want2 and {r[0] for r in got2} == {"U", "D"}
+
+    # mutually exclusive with startversion
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _CdfStreamReader({"path": root, "initialsnapshot": "true",
+                          "startversion": "1"})
+
+    # pacing composes: version cap does NOT slice the bootstrap span
+    rd = _CdfStreamReader({"path": root, "initialsnapshot": "true",
+                           "maxversionsperbatch": "1"})
+    assert rd.initialOffset() == {"version": -1}
+    first_end = rd.latestOffset()["version"]
+    assert first_end == t.current_version()  # uncapped bootstrap
+    rows = _reader_rows(rd, rd.partitions({"version": -1},
+                                          {"version": first_end}))
+    assert {r[1] for r in rows} == {"c1", "c2"}  # c3 deleted by now
+    assert all(r[0] == "I" for r in rows)
+    # pre-snapshot replay (restart before first commit) plans nothing
+    assert rd.partitions({"version": -1}, {"version": -1}) == []
+
+
+def _collect_stream_opts(spark, root, ckpt, out_dir, opts):
+    """_collect_stream with extra reader options."""
+    import glob
+    import os
+
+    before = set(glob.glob(os.path.join(out_dir, "*.parquet")))
+    reader = spark.readStream.format("lake_cdf").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (reader.load()
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    new = [f for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+           if f not in before and os.path.getsize(f) > 0]
+    if not new:
+        return set()
+    return {tuple(r) for r in
+            spark.read.parquet(*new).select(*COLS).collect()}
+
+
 def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     """Remaining v1 seams fail at PLAN time with typed errors: payload
     types outside the xxhash64 twin's surface, unresolvable root
