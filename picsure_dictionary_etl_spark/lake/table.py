@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -64,6 +65,14 @@ class ConcurrentCommitError(RuntimeError):
     like the reference's single-flight lock)."""
 
 
+class TimeTravelError(ValueError):
+    """A timestamp-based lookup cannot be answered from the retained
+    history: the requested time predates the oldest retained (or oldest
+    timestamp-stamped) snapshot. Raise retention (``vacuum``'s
+    ``keep_snapshots``/``older_than``) to keep more history, or read by
+    explicit version."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -82,6 +91,12 @@ class Snapshot:
     # existing file per commit (the Iceberg per-file-stats analog).
     # May be sparse on pre-upgrade manifests; readers must fall back.
     file_sizes: dict[str, int] = field(default_factory=dict)
+    # Commit wall-clock, epoch MICROS UTC, stamped at publish time by
+    # _write_snapshot and forced strictly monotone vs the parent
+    # (max(now, parent+1)) so timestamp -> version resolution is a
+    # well-defined binary search even under clock skew (the Delta/
+    # Iceberg commit-timestamp analog). None on pre-upgrade manifests.
+    committed_at: int | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -90,22 +105,32 @@ class Snapshot:
     def all_files(self) -> list[str]:
         return [f for fl in self.files.values() for f in fl]
 
+    def _as_dict(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "schema": json.loads(self.schema_json),
+            "bucket_count": self.bucket_count,
+            "key_cols": self.key_cols,
+            "bucket_by": self.bucket_by,
+            "files": self.files,
+            "file_sizes": self.file_sizes,
+            "properties": self.properties,
+            "lineage": self.lineage,
+            "committed_at": self.committed_at,
+        }
+
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "parent": self.parent,
-                "schema": json.loads(self.schema_json),
-                "bucket_count": self.bucket_count,
-                "key_cols": self.key_cols,
-                "bucket_by": self.bucket_by,
-                "files": self.files,
-                "file_sizes": self.file_sizes,
-                "properties": self.properties,
-                "lineage": self.lineage,
-            },
-            sort_keys=True,
-        )
+        return json.dumps(self._as_dict(), sort_keys=True)
+
+    def intent_json(self) -> str:
+        """The commit's content with publish-time bookkeeping
+        (``committed_at``) stripped — a crashed metadata-only commit
+        retried later is the SAME intent even though the retry stamps a
+        fresh wall-clock."""
+        d = self._as_dict()
+        d.pop("committed_at")
+        return json.dumps(d, sort_keys=True)
 
     @staticmethod
     def from_json(raw: str) -> "Snapshot":
@@ -121,7 +146,40 @@ class Snapshot:
             properties=d.get("properties", {}),
             lineage=d.get("lineage", {}),
             file_sizes=d.get("file_sizes", {}),
+            committed_at=d.get("committed_at"),
         )
+
+
+def to_micros(ts: Any) -> int:
+    """Normalize a user-supplied timestamp to epoch micros UTC.
+
+    Accepts an int (already micros), a float (epoch SECONDS, matching
+    ``time.time()``), a ``datetime`` (naive = UTC, like Spark session
+    time in this engine's tests), or an ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(ts, bool):
+        raise TypeError(f"not a timestamp: {ts!r}")
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, float):
+        return int(ts * 1_000_000)
+    if isinstance(ts, str):
+        s = ts.strip()
+        # datasource options arrive as strings: digit strings are epoch
+        # micros, decimal strings epoch seconds, the rest ISO-8601
+        if s.isdigit() or (s.startswith("-") and s[1:].isdigit()):
+            return int(s)
+        try:
+            return int(float(s) * 1_000_000)
+        except ValueError:
+            pass
+        ts = _dt.datetime.fromisoformat(s)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    raise TypeError(f"not a timestamp: {ts!r}")
 
 
 def bucket_expr(bucket_by: list[str], bucket_count: int) -> F.Column:
@@ -235,7 +293,7 @@ class LakeTable:
         path = os.path.join(self.root, META_DIR, f"snap-{version:08d}.json")
         return Snapshot.from_json(self.io.read_text(path))
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _write_snapshot(self, snap: Snapshot, prev: Snapshot | None = None) -> None:
         """Claim-then-swap commit with optimistic concurrency detection.
 
         The manifest write is an atomic CLAIM (``create_exclusive``): if
@@ -248,6 +306,21 @@ class LakeTable:
         claim's data directory. (Iceberg analog: manifest CAS against
         the catalog; the reference analog: the DB's unique constraint on
         ``update_info``.)"""
+        if snap.committed_at is None:
+            # publish-time wall-clock, forced strictly monotone vs the
+            # parent so timestamp->version lookups binary-search cleanly
+            # even if the writer host's clock stepped backwards between
+            # commits; ``prev`` (when the caller holds it) saves the
+            # parent-manifest re-read on remote commit points
+            parent_ts = 0
+            if prev is not None and prev.version == snap.parent:
+                parent_ts = prev.committed_at or 0
+            elif snap.parent is not None:
+                try:
+                    parent_ts = self.snapshot(snap.parent).committed_at or 0
+                except Exception:
+                    parent_ts = 0  # vacuumed parent: now() is fine
+            snap.committed_at = max(time.time_ns() // 1_000, parent_ts + 1)
         meta = os.path.join(self.root, META_DIR)
         snap_path = os.path.join(meta, f"snap-{snap.version:08d}.json")
         payload = snap.to_json()
@@ -260,7 +333,7 @@ class LakeTable:
                 # depends on it — take over
                 existing = None
             if existing is not None and not self._same_commit_intent(
-                existing, snap, payload
+                existing, snap
             ):
                 raise ConcurrentCommitError(
                     f"snapshot v{snap.version} of {self.root} was claimed by a "
@@ -271,7 +344,7 @@ class LakeTable:
         self.io.swap_pointer(os.path.join(meta, VERSION_FILE), str(snap.version))
 
     @staticmethod
-    def _same_commit_intent(a: Snapshot, b: Snapshot, b_payload: str) -> bool:
+    def _same_commit_intent(a: Snapshot, b: Snapshot) -> bool:
         """Is an existing claim a crashed attempt of THIS commit? Batch
         ids identify data commits across retries (data file names are
         attempt-unique, so the manifests differ even for the same
@@ -282,7 +355,9 @@ class LakeTable:
         ba, bb = a.lineage.get("batch_id"), b.lineage.get("batch_id")
         if ba is not None or bb is not None:
             return ba == bb
-        return a.to_json() == b_payload
+        # intent_json strips committed_at: a retried metadata-only
+        # commit stamps a fresh wall-clock but is still the same intent
+        return a.intent_json() == b.intent_json()
 
     # ---------- reads ----------
 
@@ -296,6 +371,54 @@ class LakeTable:
         are immutable, so any retained snapshot is readable — the
         Iceberg ``VERSION AS OF`` equivalent)."""
         return self.read(self.snapshot(version))
+
+    def version_at_timestamp(self, ts: Any) -> int:
+        """Greatest retained version committed at-or-before ``ts`` (the
+        Delta/Iceberg ``TIMESTAMP AS OF`` resolution). ``ts`` is epoch
+        micros, ``time.time()`` float seconds, a datetime, or ISO-8601.
+
+        Commit timestamps are strictly monotone by construction (see
+        :class:`Snapshot.committed_at`), so the answer is unique. Scans
+        the retained manifests — metadata-only, one small JSON per
+        snapshot, bounded by vacuum retention. Raises
+        :class:`TimeTravelError` when ``ts`` predates the oldest
+        retained stamped snapshot (vacuumed or pre-upgrade history)."""
+        ts_us = to_micros(ts)
+        meta = os.path.join(self.root, META_DIR)
+        current = self.current_version()
+        stamped: list[tuple[int, int]] = []  # (committed_at, version)
+        for fn in self.io.list(meta):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            try:
+                s = Snapshot.from_json(self.io.read_text(os.path.join(meta, fn)))
+            except Exception:
+                continue  # torn foreign claim
+            if s.version > current or s.committed_at is None:
+                continue  # unswapped claim / pre-upgrade manifest
+            stamped.append((s.committed_at, s.version))
+        stamped.sort()
+        if not stamped or ts_us < stamped[0][0]:
+            oldest = (
+                f"oldest retained commit is v{stamped[0][1]} at "
+                f"{stamped[0][0]} us"
+                if stamped
+                else "no retained snapshot carries a commit timestamp"
+            )
+            raise TimeTravelError(
+                f"{self.root}: no snapshot committed at or before "
+                f"{ts_us} us ({oldest}); raise vacuum retention or read "
+                f"by explicit version"
+            )
+        import bisect
+
+        i = bisect.bisect_right(stamped, (ts_us, current + 1)) - 1
+        return stamped[i][1]
+
+    def read_timestamp(self, ts: Any) -> DataFrame:
+        """Time travel by wall-clock: the table as of the last commit
+        at-or-before ``ts`` — ``SELECT ... TIMESTAMP AS OF``."""
+        return self.read_version(self.version_at_timestamp(ts))
 
     def read_buckets(self, bucket_ids: list[int], snapshot: Snapshot | None = None) -> DataFrame:
         snap = snapshot or self.current()
@@ -469,7 +592,7 @@ class LakeTable:
             lineage=lineage or {},
             file_sizes=sizes,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, prev)
         return snap
 
     # ---------- schema evolution ----------
@@ -499,7 +622,7 @@ class LakeTable:
             lineage={"schema_evolution": [f.name for f in added]},
             file_sizes=dict(prev.file_sizes),
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, prev)
         return snap
 
     # ---------- history / recovery ----------
@@ -525,6 +648,7 @@ class LakeTable:
                 {
                     "version": s.version,
                     "parent": s.parent,
+                    "committed_at": s.committed_at,
                     "n_files": len(s.all_files()),
                     "n_buckets": len(s.files),
                     "watermark_lsn": s.properties.get("watermark_lsn", -1),
@@ -556,7 +680,7 @@ class LakeTable:
             lineage={"rollback_to": version},
             file_sizes=dict(target.file_sizes),
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, prev)
         return snap
 
     # ---------- maintenance ----------
@@ -588,18 +712,41 @@ class LakeTable:
             properties=props,
             lineage={"truncate": True},
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, prev)
         return snap
 
-    def vacuum(self, keep_snapshots: int = 2) -> dict[str, int]:
-        """Remove data files unreferenced by the last ``keep_snapshots``
-        snapshots, and manifests older than those (compaction + crash
-        retries leave orphans). Returns {files_removed, snapshots_kept}.
+    def vacuum(
+        self, keep_snapshots: int = 2, older_than: Any | None = None
+    ) -> dict[str, int]:
+        """Remove data files unreferenced by the retained snapshots, and
+        manifests older than those (compaction + crash retries leave
+        orphans). Returns {files_removed, snapshots_kept}.
+
+        Retention is the UNION of two windows: the last
+        ``keep_snapshots`` versions (count-based floor, never shrinks
+        below it) and — when ``older_than`` is given — every snapshot
+        committed at-or-after that wall-clock (the Delta
+        ``VACUUM ... RETAIN`` analog; accepts the same forms as
+        :meth:`version_at_timestamp`). Commit timestamps are monotone,
+        so the time window is a contiguous suffix; pre-upgrade
+        unstamped manifests only survive via the count window.
 
         Safe under the single-writer assumption: only files no
         retained snapshot references are deleted."""
         current = self.current_version()
         kept_versions = list(range(max(0, current - keep_snapshots + 1), current + 1))
+        if older_than is not None:
+            cutoff = to_micros(older_than)
+            v = min(kept_versions) - 1
+            while v >= 0:
+                try:
+                    s = self.snapshot(v)
+                except Exception:
+                    break  # already vacuumed below here
+                if s.committed_at is None or s.committed_at < cutoff:
+                    break  # monotone: everything older is older too
+                kept_versions.insert(0, v)
+                v -= 1
         referenced: set[str] = set()
         for v in kept_versions:
             referenced.update(self.snapshot(v).all_files())

@@ -899,6 +899,48 @@ def _current_version(root: str) -> int:
     return int(_read_text(root, META_DIR, VERSION_FILE).strip())
 
 
+def _version_before_timestamp(root: str, ts) -> int:
+    """Base offset for ``startingtimestamp``: (first version committed
+    at-or-after ``ts``) − 1, so the first span (base, head] contains
+    exactly the commits stamped at-or-after the cut.
+
+    Walks retained manifests newest→oldest (metadata-only; commit
+    timestamps are strictly monotone, so the walk stops at the first
+    older commit). Every commit at-or-after the cut must have a
+    DIFFABLE base: if the walk needs a manifest beyond retention — or
+    hits a pre-upgrade manifest with no timestamp — the retention
+    error from :func:`_load_snapshot` propagates at PLAN time with the
+    startversion/initialsnapshot remedies. A timestamp after the
+    latest commit resolves to the head (the stream waits for new
+    commits)."""
+    from picsure_dictionary_etl_spark.lake.consume import ChangeFeedRetentionError
+    from picsure_dictionary_etl_spark.lake.table import to_micros
+
+    ts_us = to_micros(ts)
+    cur = _current_version(root)
+    base = cur
+    v = cur
+    while v >= 0:
+        snap = _load_snapshot(root, v)  # raises retention if vacuumed
+        if snap.committed_at is None:
+            raise ChangeFeedRetentionError(
+                f"startingtimestamp={ts_us} us reaches back into "
+                f"history of {root} that predates commit-timestamp "
+                f"tracking (snapshot v{v} carries no committed_at); "
+                f"use .option('startversion', <version>) or "
+                f".option('initialsnapshot', 'true')"
+            )
+        if snap.committed_at < ts_us:
+            break
+        base = v - 1
+        v -= 1
+    # base -1 (the cut predates even v0): v0's base is the EMPTY
+    # table, and offset -1 is exactly the initial-snapshot bootstrap —
+    # the first span delivers the net of every commit as I rows, which
+    # is the faithful feed for a consumer that predates all history
+    return base
+
+
 def _check_supported(root: str, snap: Snapshot) -> None:
     """Typed plan-time seams: unresolvable root schemes and payload/key
     types outside the executor path's surface fail at stream start —
@@ -963,6 +1005,26 @@ class _CdfStreamReader(DataSourceStreamReader):
                     "state at the first batch's end version"
                 )
             self.start_version = -1
+        st = options.get("startingtimestamp")
+        if st is not None:
+            # the Delta startingTimestamp analog: stream every change
+            # committed AT OR AFTER the wall-clock. Resolved to a base
+            # version at PLAN time (typed-seam rule: never mid-batch)
+            # by walking retained manifests newest-first — commit
+            # timestamps are strictly monotone by construction
+            # (lake/table.py Snapshot.committed_at), so the walk stops
+            # at the first commit older than the cut. A timestamp
+            # after the latest commit starts at the head (the stream
+            # waits); one that predates retention raises the same
+            # retention error a vacuumed startversion does, with
+            # initialsnapshot as the documented bootstrap.
+            if "startversion" in options or self.start_version < 0:
+                raise ValueError(
+                    "startingtimestamp is mutually exclusive with "
+                    "startversion and initialsnapshot: each pins the "
+                    "stream's starting point its own way"
+                )
+            self.start_version = _version_before_timestamp(self.root, st)
         # catch-up rate limit: cap how many table VERSIONS one
         # micro-batch may span (0 = unbounded). A stream resuming after
         # a long gap otherwise plans a single batch over every pending

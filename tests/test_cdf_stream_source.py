@@ -983,6 +983,72 @@ def _collect_stream_opts(spark, root, ckpt, out_dir, opts):
             spark.read.parquet(*new).select(*COLS).collect()}
 
 
+def test_startingtimestamp_resolves_to_version_base(spark, tmp_path):
+    """`.option("startingtimestamp", ts)`: stream every change committed
+    at-or-after the wall-clock — resolved to a base version at PLAN
+    time from the manifests' monotone committed_at stamps. A cut after
+    the head waits at the head; one before all history is the bootstrap
+    offset; one whose base is vacuumed raises the typed retention
+    error; mutually exclusive with startversion/initialsnapshot."""
+    from picsure_dictionary_etl_spark.lake.consume import (
+        ChangeFeedRetentionError,
+    )
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+        _version_before_timestamp,
+    )
+
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root = str(tmp_path / "t")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4,
+                                      normalize=False))
+    r.apply_batch(_ev(spark, [
+        (1, "I", "c1", 0, "user", "one", None, TS)]), "b1")
+    r.apply_batch(_ev(spark, [
+        (2, "I", "c2", 0, "user", "two", None, TS)]), "b2")
+    r.apply_batch(_ev(spark, [
+        (3, "U", "c1", 0, "user", "one v2", None, TS)]), "b3")
+    t = LakeTable.load(spark, root)
+    cur = t.current_version()
+    ts = [t.snapshot(v).committed_at for v in range(cur + 1)]
+
+    # at v2's stamp -> base 1 (v2+v3 stream); just before v3 -> base 2;
+    # after the head -> the head (waits); before all -> bootstrap (-1)
+    assert _version_before_timestamp(root, ts[2]) == 1
+    assert _version_before_timestamp(root, ts[3] - 1) == 2
+    assert _version_before_timestamp(root, ts[3] + 10**9) == cur
+    assert _version_before_timestamp(root, ts[0] - 1) == -1
+
+    # end to end through readStream: int-micros and ISO forms
+    import datetime as dt
+    want = {tuple(x) for x in
+            table_changes(t, 1, cur).select(*COLS).collect()}
+    got = _collect_stream_opts(spark, root, str(tmp_path / "ck1"),
+                               str(tmp_path / "o1"),
+                               {"startingtimestamp": str(ts[2])})
+    assert got == want and {x[1] for x in got} == {"c1", "c2"}
+    iso = dt.datetime.fromtimestamp(
+        ts[2] / 1e6, dt.timezone.utc).isoformat()
+    got_iso = _collect_stream_opts(spark, root, str(tmp_path / "ck2"),
+                                   str(tmp_path / "o2"),
+                                   {"startingtimestamp": iso})
+    assert got_iso == want
+
+    # plan-time option conflicts
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _CdfStreamReader({"path": root, "startingtimestamp": str(ts[2]),
+                          "startversion": "1"})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _CdfStreamReader({"path": root, "startingtimestamp": str(ts[2]),
+                          "initialsnapshot": "true"})
+
+    # a cut whose base version is vacuumed fails typed at plan time
+    t.vacuum(keep_snapshots=1)
+    with pytest.raises(ChangeFeedRetentionError):
+        _CdfStreamReader({"path": root, "startingtimestamp": str(ts[2])})
+
+
+
 def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     """Remaining v1 seams fail at PLAN time with typed errors: payload
     types outside the xxhash64 twin's surface, unresolvable root

@@ -541,3 +541,127 @@ def test_rebucket_crashed_claim_is_taken_over(spark, tmp_path):
     snap = rebucket(t, 8)  # retry takes the claim over
     assert snap.version == v + 1 and snap.bucket_count == 8
     assert t.read().count() == 1
+
+
+def test_commit_timestamps_and_timestamp_travel(spark, tmp_path):
+    """Every commit stamps a strictly-monotone ``committed_at`` (epoch
+    micros) in the manifest; ``version_at_timestamp``/``read_timestamp``
+    resolve TIMESTAMP AS OF over it; ``vacuum(older_than=...)`` retains
+    the wall-clock window (Delta RETAIN analog)."""
+    import datetime as dt
+
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.table import TimeTravelError
+
+    root = str(tmp_path / "t")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4))
+    events = change_events(spark, 900, n_convs=12, delete_ratio=0.1)
+    r.replay(events, lsn_step=300)  # v0 create + 3 data commits
+    t = r.table
+    cur = t.current_version()
+    assert cur >= 3
+
+    stamps = [t.snapshot(v).committed_at for v in range(cur + 1)]
+    assert all(isinstance(s, int) for s in stamps)
+    assert all(b > a for a, b in zip(stamps, stamps[1:]))
+
+    # boundaries: ts == commit time -> that version; between commits ->
+    # the earlier; after the head -> current; before all -> typed error
+    for v in range(cur + 1):
+        assert t.version_at_timestamp(stamps[v]) == v
+    assert t.version_at_timestamp(stamps[2] - 1) == 1
+    assert t.version_at_timestamp(stamps[-1] + 10**9) == cur
+    with pytest.raises(TimeTravelError):
+        t.version_at_timestamp(stamps[0] - 1)
+
+    keys, payload = ["conv_id", "turn_idx"], ["role", "text", "tool", "ts"]
+    a = resolve_live(t.read_timestamp(stamps[1]), keys, payload).count()
+    b = resolve_live(t.read_version(1), keys, payload).count()
+    assert a == b > 0
+
+    # datetime / ISO string / float-seconds forms resolve identically
+    as_dt = dt.datetime.fromtimestamp(stamps[2] / 1e6, dt.timezone.utc)
+    assert t.version_at_timestamp(as_dt) == 2
+    assert t.version_at_timestamp(as_dt.isoformat()) == 2
+    assert t.version_at_timestamp(stamps[2] / 1e6) == 2
+
+    # history surfaces the stamps in order
+    assert [h["committed_at"] for h in t.history()] == stamps
+
+    # time-based retention: keep commits at-or-after v(cur-1)'s stamp
+    # (count floor of 1 is narrower, the union keeps 2)
+    stats = t.vacuum(keep_snapshots=1, older_than=stamps[cur - 1])
+    assert stats["snapshots_kept"] == 2
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(cur - 2)
+    assert resolve_live(t.read_version(cur - 1), keys, payload).count() > 0
+    with pytest.raises(TimeTravelError):
+        t.version_at_timestamp(stamps[0])
+
+
+def test_metadata_retry_ignores_fresh_wallclock(spark, tmp_path):
+    """A crashed metadata-only commit retried later stamps a NEW
+    committed_at; the takeover intent-compare strips it (a raw
+    byte-equality compare would turn every such retry into a spurious
+    ConcurrentCommitError). A claim with genuinely different content
+    still raises."""
+    import os
+
+    import pytest
+
+    from picsure_dictionary_etl_spark.lake.table import (
+        META_DIR,
+        ConcurrentCommitError,
+        Snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    r = CdcRunner(spark, RunnerConfig(table_root=root, bucket_count=4))
+    events = change_events(spark, 300, n_convs=6, delete_ratio=0.1)
+    r.replay(events, lsn_step=300)
+    t = r.table
+    prev = t.current()
+
+    # simulate truncate() crashing AFTER the claim, BEFORE the pointer
+    # swap — stamped with the crashed attempt's wall-clock
+    props = dict(prev.properties)
+    props["watermark_lsn"] = -1
+    props["applied_batches"] = []
+    crashed = Snapshot(
+        version=prev.version + 1,
+        parent=prev.version,
+        schema_json=prev.schema_json,
+        bucket_count=prev.bucket_count,
+        key_cols=prev.key_cols,
+        bucket_by=prev.bucket_by,
+        files={},
+        properties=props,
+        lineage={"truncate": True},
+        committed_at=12_345,  # long before the retry's clock
+    )
+    claim = os.path.join(root, META_DIR, f"snap-{crashed.version:08d}.json")
+    assert t.io.create_exclusive(claim, crashed.to_json())
+
+    snap = t.truncate()  # the retry: same intent, fresh committed_at
+    assert snap.version == crashed.version
+    assert snap.committed_at != 12_345
+    assert t.current_version() == snap.version
+
+    # different content at the next version is a REAL conflict
+    foreign = Snapshot(
+        version=snap.version + 1,
+        parent=snap.version,
+        schema_json=snap.schema_json,
+        bucket_count=snap.bucket_count,
+        key_cols=snap.key_cols,
+        bucket_by=snap.bucket_by,
+        files={},
+        properties={"watermark_lsn": 999, "applied_batches": []},
+        lineage={"truncate": True},
+        committed_at=777,
+    )
+    claim2 = os.path.join(root, META_DIR, f"snap-{foreign.version:08d}.json")
+    assert t.io.create_exclusive(claim2, foreign.to_json())
+    with pytest.raises(ConcurrentCommitError):
+        t.truncate()
