@@ -93,6 +93,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -941,6 +942,24 @@ def _version_before_timestamp(root: str, ts) -> int:
     return base
 
 
+def _version_at_or_before(root: str, ts) -> int:
+    """``endingtimestamp`` resolution: greatest version committed
+    at-or-before ``ts`` — the inclusive twin of
+    :func:`_version_before_timestamp` (commit stamps are integer micros,
+    so at-or-before ``ts`` ≡ strictly-before ``ts+1µs``). Raises the
+    same retention/pre-upgrade errors; a cut before all history is a
+    typed ValueError (an empty feed bound, not a bootstrap)."""
+    from picsure_dictionary_etl_spark.lake.table import to_micros
+
+    v = _version_before_timestamp(root, to_micros(ts) + 1)
+    if v < 0:
+        raise ValueError(
+            f"endingtimestamp={to_micros(ts)} us predates every commit "
+            f"of {root}: the requested feed is empty"
+        )
+    return v
+
+
 def _check_supported(root: str, snap: Snapshot) -> None:
     """Typed plan-time seams: unresolvable root schemes and payload/key
     types outside the executor path's surface fail at stream start —
@@ -978,6 +997,129 @@ def _extras(snap: Snapshot) -> list[str]:
     snapshot's schema. '_pu' present <=> field-wise resolve."""
     names = {f.name for f in snap.schema.fields}
     return [c for c in ("_del_lsn", "_pu") if c in names]
+
+
+def _pin_plan(root: str, schema):
+    """Pin the read plan from the table's CURRENT snapshot (shared by
+    the stream and batch readers): supported-surface check, key/payload
+    column split, spark dtypes, and the output schema. A caller-supplied
+    ``.schema(...)`` must match the source schema exactly — payload
+    ORDER pins the equal-LSN tie-break hash order (r5 advice), so a
+    reordered schema would silently flip tie winners. Returns
+    ``(keys, payload, dtypes, out_schema)``."""
+    snap = _load_snapshot(root, _current_version(root))
+    _check_supported(root, snap)
+    keys = snap.key_cols
+    expected = _output_schema(snap)
+    if schema is not None and [f.name for f in schema.fields] != [
+        f.name for f in expected.fields
+    ]:
+        raise ValueError(
+            f"lake_cdf: user-supplied schema columns "
+            f"{[f.name for f in schema.fields]} must match the source "
+            f"schema {[f.name for f in expected.fields]} exactly (column "
+            f"order pins the LWW tie-break hash order)"
+        )
+    payload = [
+        f.name
+        for f in expected.fields
+        if f.name not in set(keys) and f.name not in ("_change", "_lsn")
+    ]
+    dtypes = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    dtypes.setdefault("_op", "string")
+    dtypes.setdefault("_lsn", "bigint")
+    return keys, payload, dtypes, expected
+
+
+def _span_tasks(root, keys, payload, dtypes, sv: int, ev: int):
+    """Input partitions for the change span ``(sv, ev]`` — the shared
+    planning core of the stream's ``partitions()`` and the batch
+    reader. Metadata-only: diffs the two manifests' per-bucket file
+    lists; only buckets whose lists differ become tasks. ``sv == -1``
+    is the full-state bootstrap (old side EMPTY — every live row
+    emits as ``I``)."""
+    if ev < 0:  # pre-snapshot replay (restart before first commit)
+        return []
+    snap_to = _load_snapshot(root, ev)
+    if sv < 0:
+        # initial-snapshot bootstrap: the old side is EMPTY, so the
+        # span's diff IS the full resolved state at ev as 'I' rows
+        import dataclasses as _dc
+
+        snap_from = _dc.replace(snap_to, files={}, file_sizes={})
+    else:
+        snap_from = _load_snapshot(root, sv)
+    _check_supported(root, snap_to)
+    same_layout = (
+        snap_from.bucket_count == snap_to.bucket_count
+        and snap_from.bucket_by == snap_to.bucket_by
+    )
+    same_policy = snap_from.properties.get(
+        "update_policy", "row"
+    ) == snap_to.properties.get("update_policy", "row")
+    common = dict(
+        root=root,
+        keys=keys,
+        payload=payload,
+        dtypes=dtypes,
+        old_extras=_extras(snap_from),
+        new_extras=_extras(snap_to),
+    )
+    if not (same_layout and same_policy):
+        # a rebucket inside the span moves keys across buckets (and
+        # a policy flip can re-resolve identical bytes): a
+        # per-bucket diff would emit spurious changes. Collapse to
+        # ONE global-diff task — exactly table_changes' fallback.
+        # Rare one-time maintenance; the next span fans back out.
+        return [
+            _BucketTask(
+                old_files=snap_from.all_files(),
+                new_files=snap_to.all_files(),
+                **common,
+            )
+        ]
+    changed = sorted(
+        b
+        for b in set(snap_from.files) | set(snap_to.files)
+        if snap_from.files.get(b) != snap_to.files.get(b)
+    )
+    return [
+        _BucketTask(
+            old_files=snap_from.files.get(b, []),
+            new_files=snap_to.files.get(b, []),
+            **common,
+        )
+        for b in changed
+    ]
+
+
+def _resolve_side(p: _BucketTask, rel_files, extras):
+    cols = p.keys + p.payload + ["_op", "_lsn"] + list(extras)
+    raw = _read_bucket(p.root, rel_files, cols, p.dtypes)
+    resolve = (
+        _resolve_live_pd_fieldwise if "_pu" in extras else _resolve_live_pd
+    )
+    return resolve(raw, p.keys, p.payload, p.dtypes)
+
+
+def _read_span_partition(partition: _BucketTask, out_schema):
+    """Executor read of one span task (shared by both readers): resolve
+    each side's live state, vectorized diff, yield arrow RecordBatches."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    old = _resolve_side(partition, partition.old_files, partition.old_extras)
+    new = _resolve_side(partition, partition.new_files, partition.new_extras)
+    pa_schema = to_arrow_schema(out_schema)
+    pa_types = {f.name: f.type for f in pa_schema}
+    diff = _diff_states_pd(
+        old,
+        new,
+        partition.keys,
+        partition.payload,
+        partition.dtypes,
+        pa_types,
+    )
+    yield from _to_arrow_batches(diff, out_schema, partition.dtypes)
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -1069,34 +1211,10 @@ class _CdfStreamReader(DataSourceStreamReader):
         # lifetime). An additive evolve() mid-stream keeps streaming the
         # declared columns — rows that only changed in a NEW column
         # classify as unchanged until the stream restarts with the wider
-        # schema. Payload ORDER always derives from the snapshot schema
-        # (as schema() emits it): the equal-LSN tie-break hash is
-        # order-sensitive, so a caller-reordered .schema(...) would
-        # silently flip tie winners — reject it instead (r5 advice).
-        snap = _load_snapshot(self.root, _current_version(self.root))
-        _check_supported(self.root, snap)
-        self.keys = snap.key_cols
-        expected = _output_schema(snap)
-        if schema is not None and [f.name for f in schema.fields] != [
-            f.name for f in expected.fields
-        ]:
-            raise ValueError(
-                f"lake_cdf: user-supplied schema columns "
-                f"{[f.name for f in schema.fields]} must match the source "
-                f"schema {[f.name for f in expected.fields]} exactly (column "
-                f"order pins the LWW tie-break hash order)"
-            )
-        self.out_schema = expected
-        self.payload = [
-            f.name
-            for f in expected.fields
-            if f.name not in set(self.keys) and f.name not in ("_change", "_lsn")
-        ]
-        self.dtypes = {
-            f.name: f.dataType.simpleString() for f in snap.schema.fields
-        }
-        self.dtypes.setdefault("_op", "string")
-        self.dtypes.setdefault("_lsn", "bigint")
+        # schema.
+        self.keys, self.payload, self.dtypes, self.out_schema = _pin_plan(
+            self.root, schema
+        )
 
     def _dbg(self, msg):
         """Ops tracing for the engine<->reader protocol (the runner
@@ -1175,91 +1293,111 @@ class _CdfStreamReader(DataSourceStreamReader):
         # first (fresh runner process); keep the pace cursor monotone
         if self._last_end is None or ev > self._last_end:
             self._last_end = ev
-        if ev < 0:  # pre-snapshot replay (restart before first commit)
-            return []
-        snap_to = _load_snapshot(self.root, ev)
-        if sv < 0:
-            # initial-snapshot bootstrap: the old side is EMPTY, so the
-            # span's diff IS the full resolved state at ev as 'I' rows
-            import dataclasses as _dc
-
-            snap_from = _dc.replace(snap_to, files={}, file_sizes={})
-        else:
-            snap_from = _load_snapshot(self.root, sv)
-        _check_supported(self.root, snap_to)
-        same_layout = (
-            snap_from.bucket_count == snap_to.bucket_count
-            and snap_from.bucket_by == snap_to.bucket_by
+        return _span_tasks(
+            self.root, self.keys, self.payload, self.dtypes, sv, ev
         )
-        same_policy = snap_from.properties.get(
-            "update_policy", "row"
-        ) == snap_to.properties.get("update_policy", "row")
-        common = dict(
-            root=self.root,
-            keys=self.keys,
-            payload=self.payload,
-            dtypes=self.dtypes,
-            old_extras=_extras(snap_from),
-            new_extras=_extras(snap_to),
-        )
-        if not (same_layout and same_policy):
-            # a rebucket inside the span moves keys across buckets (and
-            # a policy flip can re-resolve identical bytes): a
-            # per-bucket diff would emit spurious changes. Collapse to
-            # ONE global-diff task — exactly table_changes' fallback.
-            # Rare one-time maintenance; the next span fans back out.
-            return [
-                _BucketTask(
-                    old_files=snap_from.all_files(),
-                    new_files=snap_to.all_files(),
-                    **common,
-                )
-            ]
-        changed = sorted(
-            b
-            for b in set(snap_from.files) | set(snap_to.files)
-            if snap_from.files.get(b) != snap_to.files.get(b)
-        )
-        return [
-            _BucketTask(
-                old_files=snap_from.files.get(b, []),
-                new_files=snap_to.files.get(b, []),
-                **common,
-            )
-            for b in changed
-        ]
-
-    def _resolve_side(self, p: _BucketTask, rel_files, extras):
-        cols = p.keys + p.payload + ["_op", "_lsn"] + list(extras)
-        raw = _read_bucket(p.root, rel_files, cols, p.dtypes)
-        resolve = (
-            _resolve_live_pd_fieldwise if "_pu" in extras else _resolve_live_pd
-        )
-        return resolve(raw, p.keys, p.payload, p.dtypes)
 
     def read(self, partition: _BucketTask):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        old = self._resolve_side(
-            partition, partition.old_files, partition.old_extras
-        )
-        new = self._resolve_side(
-            partition, partition.new_files, partition.new_extras
-        )
-        pa_schema = to_arrow_schema(self.out_schema)
-        pa_types = {f.name: f.type for f in pa_schema}
-        diff = _diff_states_pd(
-            old,
-            new,
-            partition.keys,
-            partition.payload,
-            partition.dtypes,
-            pa_types,
-        )
-        yield from _to_arrow_batches(diff, self.out_schema, partition.dtypes)
+        yield from _read_span_partition(partition, self.out_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side to ack
+
+
+class _CdfBatchReader(DataSourceReader):
+    """``spark.read.format("lake_cdf")`` — one bounded change span as a
+    batch DataFrame (the Delta batch ``readChangeFeed`` analog). Same
+    planning (metadata-only manifest diff → changed-bucket tasks) and
+    executor path (vectorized resolve+diff, arrow-batch yield) as the
+    stream; the span bounds come from options instead of offsets:
+
+    * ``startversion`` (default 0) — EXCLUSIVE base: changes strictly
+      after this version, the same convention as the stream option and
+      ``table_changes(t, start, end)``.
+    * ``endversion`` — INCLUSIVE end (default: the current version at
+      plan time).
+    * ``startingtimestamp`` / ``endingtimestamp`` — wall-clock bounds
+      resolved against the manifests' monotone ``committed_at`` stamps:
+      changes committed at-or-after / at-or-before the cut. Each is
+      mutually exclusive with its version twin.
+    * ``initialsnapshot=true`` — not a feed but the full resolved state
+      at the end bound, emitted as ``I`` rows (base −1): the batch twin
+      of the stream's bootstrap, and the sound first load for a table
+      whose early history is vacuumed.
+
+    Stream-only pacing options (``maxversionsperbatch``,
+    ``maxbytesperbatch``) are rejected: a batch read is one span by
+    definition. Retention violations (a vacuumed bound) raise the same
+    typed ``ChangeFeedRetentionError`` the stream raises, at plan time.
+    """
+
+    def __init__(self, options, schema=None):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("lake_cdf requires .option('path', <table_root>)")
+        for opt in ("maxversionsperbatch", "maxbytesperbatch"):
+            if opt in options:
+                raise ValueError(
+                    f"lake_cdf batch read: {opt} paces a STREAM's "
+                    f"micro-batches; a batch read is one span — bound it "
+                    f"with endversion/endingtimestamp instead"
+                )
+        cur = _current_version(self.root)
+        self.end = cur
+        if "endversion" in options:
+            if "endingtimestamp" in options:
+                raise ValueError(
+                    "endversion and endingtimestamp are mutually "
+                    "exclusive: each pins the span's end its own way"
+                )
+            self.end = int(options["endversion"])
+            if self.end > cur or self.end < 0:
+                raise ValueError(
+                    f"endversion={self.end} is outside {self.root}'s "
+                    f"history (current version {cur})"
+                )
+        elif "endingtimestamp" in options:
+            self.end = _version_at_or_before(
+                self.root, options["endingtimestamp"]
+            )
+        self.start = int(options.get("startversion", 0))
+        if options.get("initialsnapshot", "false").lower() in ("true", "1"):
+            if "startversion" in options or "startingtimestamp" in options:
+                raise ValueError(
+                    "initialsnapshot is mutually exclusive with "
+                    "startversion/startingtimestamp: it reads the full "
+                    "state at the end bound, not a feed"
+                )
+            self.start = -1
+        elif "startingtimestamp" in options:
+            if "startversion" in options:
+                raise ValueError(
+                    "startingtimestamp is mutually exclusive with "
+                    "startversion: each pins the span's base its own way"
+                )
+            self.start = _version_before_timestamp(
+                self.root, options["startingtimestamp"]
+            )
+        if self.end < self.start:
+            raise ValueError(
+                f"lake_cdf batch read: empty/backwards span — start "
+                f"bound v{self.start} is beyond end bound v{self.end}"
+            )
+        self.keys, self.payload, self.dtypes, self.out_schema = _pin_plan(
+            self.root, schema
+        )
+        if self.start >= 0:
+            # fail on a vacuumed BASE at plan time (the end snapshot is
+            # validated inside _span_tasks/_pin_plan)
+            _load_snapshot(self.root, self.start)
+
+    def partitions(self):
+        return _span_tasks(
+            self.root, self.keys, self.payload, self.dtypes, self.start, self.end
+        )
+
+    def read(self, partition: _BucketTask):
+        yield from _read_span_partition(partition, self.out_schema)
 
 
 def _output_schema(snap: Snapshot) -> T.StructType:
@@ -1280,7 +1418,9 @@ def _output_schema(snap: Snapshot) -> T.StructType:
 
 
 class LakeChangeFeedDataSource(DataSource):
-    """``spark.readStream.format("lake_cdf")`` over a LakeTable root."""
+    """``spark.readStream.format("lake_cdf")`` over a LakeTable root —
+    and ``spark.read.format("lake_cdf")`` for a bounded change span
+    (batch), see :class:`_CdfBatchReader`."""
 
     @classmethod
     def name(cls) -> str:
@@ -1296,3 +1436,6 @@ class LakeChangeFeedDataSource(DataSource):
 
     def streamReader(self, schema):
         return _CdfStreamReader(self.options, schema)
+
+    def reader(self, schema):
+        return _CdfBatchReader(self.options, schema)
