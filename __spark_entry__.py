@@ -477,6 +477,85 @@ FROM win WHERE rn = 1 AND c <> 'D'
 """
 
 
+def q_lake_time_travel(spark, sf_dir):
+    """Lake storage + TIMESTAMP AS OF as a driver query (D1/D2/H4 over
+    the REAL on-disk lake, plus the r6 commit-timestamp surface): apply
+    the derived WAL into a LakeTable in two MOR commits split at the
+    WAL's median LSN, record the FIRST commit's ``committed_at``
+    wall-clock stamp from its manifest, then time-travel read at that
+    stamp (``version_at_timestamp`` → ``read_version`` → merge-on-read
+    resolve). The result must equal the plain LWW fold over events with
+    ``lsn <= cut`` (deletes dropped) — the DuckDB oracle, which never
+    sees the lake. The one driver query that certifies manifest
+    commits, the strictly-monotone commit-stamp rule, and MOR
+    resolution end to end (the others are pure reads).
+    Ref parity: the reference re-reads the whole DB state per load
+    (README.md:247-260); snapshots make 'state as of' a metadata read.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into, resolve_live
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    cdc = _events_as_cdc(spark, sf_dir).filter(F.col("turn_idx").isNotNull())
+    # metadata-scale scalar (one agg row), same class as the runner's
+    # max-LSN probe (cdc/runner.py:254)
+    cut = cdc.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0]
+    src = cdc.select(
+        "user_id", "turn_idx", "event_type", "value",
+        F.col("op").alias("_op"), F.col("lsn").alias("_lsn"),
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    root = tempfile.mkdtemp(prefix="lake_tt_") + "/t"
+    t = LakeTable.create(spark, root, schema=schema,
+                         key_cols=["user_id", "turn_idx"], bucket_count=8)
+    merge_into(t, src.filter(F.col("_lsn") <= cut), "tt-1")
+    stamp = t.snapshot(t.current_version()).committed_at
+    merge_into(t, src.filter(F.col("_lsn") > cut), "tt-2")
+    as_of = t.read_version(t.version_at_timestamp(stamp))
+    live = resolve_live(as_of, ["user_id", "turn_idx"],
+                        ["event_type", "value"])
+    return live.select(
+        "user_id", "turn_idx",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+SQL_LAKE_TIME_TRAVEL = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), cut AS (
+  SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS c FROM ev
+), w AS (
+  SELECT user_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(event_type, lsn) AS last_event_type,
+         arg_max(value, lsn) AS last_value,
+         max(lsn) AS last_lsn
+  FROM ev, cut
+  WHERE lsn <= cut.c AND turn_idx IS NOT NULL
+  GROUP BY user_id, turn_idx
+)
+SELECT user_id, turn_idx, last_event_type, last_value, last_lsn
+FROM w WHERE op <> 'D'
+"""
+
+
 def q_partial_update_blank_preserve(spark, sf_dir):
     """D6 blank-preserving reduce as a driver query: synthesized blank
     and null event_type fields (deterministic on event_id) are both
@@ -1981,19 +2060,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict (58 entries total). Rotation policy (r6,
+    # prefix of this dict (59 entries total). Rotation policy (r6,
     # same rule as r5): the queries whose last driver row is OLDEST
     # lead the prefix — the six trivials whose evidence is from r4
     # (token_counts, sorted_export, group_size_max, depth_layer_counts,
     # canonical_json_hash, doc_fingerprint) re-enter slots 0-5 — the
-    # new multimodal_real_decode_video (MP4) and cdf_fold_materialize
-    # (no evidence yet) join the prefix, and the tail (indices 50-57)
-    # holds eight simple queries freshly certified in r5
+    # new multimodal_real_decode_video (MP4), cdf_fold_materialize and
+    # lake_time_travel (no evidence yet) join the prefix, and the tail
+    # (indices 50-58) holds nine simple queries freshly certified in r5
     # (window_latest_k, minhash_lsh_candidates, distinct_sorted,
     # count_per_key, eav_pivot, eav_unpivot, first_wins_pick,
-    # study_filter), so every entry's driver evidence stays <=2
-    # rounds old and the bounded prefix never ships an unverified
-    # operator.
+    # study_filter, windowed_event_counts), so every entry's driver
+    # evidence stays <=2 rounds old and the bounded prefix never ships
+    # an unverified operator.
     return {
         "token_counts": q_token_counts,
         "sorted_export": q_sorted_export,
@@ -2019,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_update_blank_preserve": q_partial_update_blank_preserve,
         "cdc_change_feed": q_cdc_change_feed,
         "cdf_fold_materialize": q_cdf_fold_materialize,
+        "lake_time_travel": q_lake_time_travel,
         "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
@@ -2031,7 +2111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_detection_hash": q_change_detection_hash,
         "multiway_join_revenue": q_multiway_join_revenue,
         "key_filtered_join": q_key_filtered_join,
-        "windowed_event_counts": q_windowed_event_counts,
         "regex_extract_families": q_regex_extract_families,
         "parent_backfill": q_parent_backfill,
         "index_aligned_pivot": q_index_aligned_pivot,
@@ -2059,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eav_unpivot": q_eav_unpivot,
         "first_wins_pick": q_first_wins_pick,
         "study_filter": q_study_filter,
+        "windowed_event_counts": q_windowed_event_counts,
     }
 
 
@@ -2077,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "partial_update_blank_preserve": SQL_PARTIAL_UPDATE_BLANK_PRESERVE,
         "cdc_change_feed": SQL_CDC_CHANGE_FEED,
         "cdf_fold_materialize": SQL_CDF_FOLD_MATERIALIZE,
+        "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
         "embedding_near_dups_multiprobe": SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
