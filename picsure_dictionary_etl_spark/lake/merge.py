@@ -742,6 +742,84 @@ def _mor_write(
     return appends, replaces, to_compact, new_sizes
 
 
+def optimize(
+    table: LakeTable,
+    compact_threshold: int = 8,
+    compact_target_bytes: int = 64 * 1024 * 1024,
+    buckets: list[int] | None = None,
+) -> "Snapshot | None":
+    """Standalone bucket compaction — the Delta ``OPTIMIZE`` analog.
+
+    ``merge_into`` compacts inline, but only buckets IT touches; a
+    table fed by the streaming sink (append-only deltas, never
+    compacts) or one that stopped ingesting accumulates per-bucket
+    delta files forever. ``optimize`` selects buckets by the SAME
+    count+bytes trigger the merge path uses (:func:`_should_compact` —
+    metadata-only: counts from the manifest file lists, bytes from the
+    manifest's recorded ``file_sizes``), resolves their live state
+    (policy-aware, tombstones collapse), and rewrites each as a
+    key-sorted base in ONE Spark job over only those buckets' files.
+    Zero-live-row buckets swap to explicit empty file lists (the
+    ``replaces`` guard). Returns the new snapshot, or None when no
+    bucket qualifies — a no-op decision that costs zero data IO.
+
+    Compaction changes no live row: ``table_changes`` across the
+    boundary is empty (the CDF planner sees changed file LISTS, the
+    value diff is empty — tested). ``buckets`` restricts the candidate
+    set (operational partial runs on huge tables)."""
+    snap = table.current()
+    keys, payload = snap.key_cols, _payload_cols(snap)
+    cand = (
+        {str(b) for b in buckets} & set(snap.files)
+        if buckets is not None
+        else set(snap.files)
+    )
+    cache: dict[str, int] = {}
+    to_compact: list[int] = []
+    for b in sorted(cand, key=int):
+        files = snap.files[b]
+        n = len(files)
+        if n <= 1:
+            continue  # a single base: merging is a no-op
+        if n > 4 * compact_threshold:
+            to_compact.append(int(b))  # forced by the cap: skip byte math
+            continue
+        base = [f for f in files if "/delta/" not in f]
+        delta = [f for f in files if "/delta/" in f]
+        if _should_compact(
+            n,
+            compact_threshold,
+            _bucket_file_bytes(table, base, snap, cache),
+            _bucket_file_bytes(table, delta, snap, cache),
+            compact_target_bytes,
+        ):
+            to_compact.append(int(b))
+    if not to_compact:
+        return None
+    rel_files = [f for b in to_compact for f in snap.files[str(b)]]
+    raw = _read_raw(table, snap, keys, payload, rel_files=rel_files)
+    live = resolve_live(
+        raw, keys, payload,
+        policy=snap.properties.get("update_policy", "row"), schema=snap.schema,
+    ).withColumn(BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count))
+    version = snap.version + 1
+    replaces = {str(b): [] for b in to_compact}
+    replaces.update(
+        table.write_data_files(live, version, subdir="base", sort_cols=keys)
+    )
+    return table.commit(
+        {}, replaces, None,
+        {
+            # retry-stable id (same rule as rebucket): a crashed claim's
+            # data dirs are attempt-unique, so only the id lets the
+            # retry take the claim over instead of dying forever
+            "batch_id": f"optimize-v{version}",
+            "optimize": {"buckets": to_compact},
+        },
+        prev=snap,
+    )
+
+
 def rebucket(table: LakeTable, new_bucket_count: int) -> "Snapshot":
     """Change the table's bucket layout — the operational escape hatch
     for a bucket_count chosen at create time that the data outgrew

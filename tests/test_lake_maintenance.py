@@ -665,3 +665,67 @@ def test_metadata_retry_ignores_fresh_wallclock(spark, tmp_path):
     assert t.io.create_exclusive(claim2, foreign.to_json())
     with pytest.raises(ConcurrentCommitError):
         t.truncate()
+
+
+def test_optimize_compacts_sink_style_delta_buildup(spark, tmp_path):
+    """Standalone optimize() (the Delta OPTIMIZE analog): buckets whose
+    delta files piled up past the trigger collapse to one key-sorted
+    base each — resolved state identical, value-level CDF across the
+    boundary EMPTY, tombstoned-out buckets swap to empty file lists,
+    and a healthy table is a metadata-only no-op (returns None)."""
+    import datetime
+
+    from picsure_dictionary_etl_spark.cdc.envelope import (
+        TRANSCRIPT_KEY,
+        change_event_schema,
+        transcript_table_schema,
+    )
+    from picsure_dictionary_etl_spark.lake.merge import (
+        merge_into,
+        optimize,
+        table_changes,
+    )
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+
+    TS = datetime.datetime(2024, 1, 1)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, schema=transcript_table_schema(),
+                         key_cols=TRANSCRIPT_KEY, bucket_by=["conv_id"],
+                         bucket_count=2)
+    ev = lambda rows: spark.createDataFrame(rows, change_event_schema())  # noqa: E731
+    # 6 delta-append commits, inline compaction suppressed
+    lsn = 0
+    for i in range(6):
+        lsn += 1
+        merge_into(t, ev([
+            (lsn, "U", f"c{i % 4}", 0, "user", f"v{lsn}", None, TS)]),
+            f"b{i}", compact_threshold=100)
+    keys, payload = TRANSCRIPT_KEY, ["role", "text", "tool", "ts"]
+    before = {tuple(r) for r in resolve_live(t.read(), keys, payload)
+              .select("conv_id", "text", "_lsn").collect()}
+    assert any(len(fs) > 2 for fs in t.current().files.values())
+    v = t.current_version()
+
+    snap = optimize(t, compact_threshold=2)
+    assert snap is not None and snap.version == v + 1
+    assert all(len(fs) == 1 for fs in snap.files.values())
+    after = {tuple(r) for r in resolve_live(t.read(), keys, payload)
+             .select("conv_id", "text", "_lsn").collect()}
+    assert after == before
+    # compaction changes file LISTS but no live row: empty value diff
+    assert table_changes(t, v, v + 1).count() == 0
+    # healthy table: metadata-only no-op
+    assert optimize(t, compact_threshold=2) is None
+
+    # tombstone every key of bucket holding c0..c3 -> optimize swaps the
+    # bucket(s) to EMPTY lists, never resurrects
+    lsn += 1
+    dels = [(lsn + j, "D", f"c{j}", 0, None, None, None, None)
+            for j in range(4)]
+    merge_into(t, ev(dels), "bdel", compact_threshold=100)
+    v2 = t.current_version()
+    snap2 = optimize(t, compact_threshold=0)  # force: every multi-file bucket
+    assert snap2 is not None
+    assert resolve_live(t.read(), keys, payload).count() == 0
+    assert snap2.files == {}  # all buckets resolved to zero live rows
+    assert table_changes(t, v2, snap2.version).count() == 0
