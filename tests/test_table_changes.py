@@ -393,6 +393,9 @@ def test_state_diff_nested_columns_element_wise(spark):
     d = {r["id"]: r["_change"]
          for r in state_diff(old, new, ["id"], ["a", "la", "st"]).collect()}
     assert d == {"amb": "U", "empty": "U"}  # 'same' must NOT appear
+
+
+def test_change_feed_consumer_exactly_once_downstream(spark, tmp_path):
     """Checkpointed tail of the committed snapshots: each poll returns
     the O(change) diff since the last ack; a crash between poll and ack
     re-delivers the identical diff; applying diffs as patches converges
