@@ -50,6 +50,7 @@ from picsure_dictionary_etl_spark.streaming.lake_sink import (
 
 N = {events}
 EPOCHS = {epochs}
+REPART = {repartition}
 BASE = {base!r}
 PAYLOAD = ["role", "text", "tool", "ts"]
 
@@ -85,7 +86,7 @@ for e, d in enumerate(slices):
             os.link(os.path.join(d, fn), os.path.join(seen, f"e{{e}}-{{fn}}"))
     df = with_bucket(
         spark.readStream.schema(change_event_schema()).parquet(seen),
-        sink_root)
+        sink_root, repartition={repartition})
     q = (df.writeStream.format("lake").option("path", sink_root)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -121,7 +122,7 @@ opt_s = time.time() - t0
 files_opt = sum(len(f) for f in snap.files.values()) if snap else files_sink
 
 print("RESULT " + json.dumps({{
-    "events": N, "epochs": EPOCHS,
+    "events": N, "epochs": EPOCHS, "repartition": REPART,
     "sink_sec": round(sink_s, 2),
     "sink_ev_per_s": round(N / sink_s),
     "merge_sec": round(merge_s, 2),
@@ -139,10 +140,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--repartition", action="store_true",
+                    help="hash-partition on _bucket before the sink "
+                         "(O(buckets) files per epoch instead of "
+                         "O(tasks x buckets))")
     args = ap.parse_args()
     with tempfile.TemporaryDirectory(prefix="sink_bench_") as base:
         code = DRIVER.format(repo=REPO, events=args.events,
-                             epochs=args.epochs, base=base)
+                             epochs=args.epochs, base=base,
+                             repartition=args.repartition)
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=3600,
@@ -152,7 +158,8 @@ def main() -> None:
             sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
             raise SystemExit("driver produced no RESULT line")
         res = json.loads(line[-1][len("RESULT "):])
-    path = os.path.join(HERE, "sink_bench_results.json")
+    suffix = "_repartition" if args.repartition else ""
+    path = os.path.join(HERE, f"sink_bench_results{suffix}.json")
     with open(path, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res, indent=2))

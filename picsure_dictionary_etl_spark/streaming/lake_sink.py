@@ -354,14 +354,26 @@ class LakeTableSinkDataSource(DataSource):
         return _LakeBatchWriter(self.options, schema, overwrite)
 
 
-def with_bucket(df, root: str):
+def with_bucket(df, root: str, repartition: bool = False):
     """Add the table's ``_bucket`` column JVM-side (the sink's fast
     path: vectorized ``xxhash64`` in the plan, no per-row Python in the
     executors). Reads the bucket config from the current manifest —
-    metadata-only, driver-side."""
+    metadata-only, driver-side.
+
+    ``repartition=True`` additionally hash-partitions the stream on
+    ``_bucket`` so each bucket lands in ONE task per epoch — file count
+    drops from O(tasks × buckets) to O(buckets) per epoch (4× measured
+    in BENCH/sink_bench.py) at the cost of one shuffle per epoch.
+    Leave it off for low-latency small epochs; turn it on when epochs
+    are large or compaction cadence is slow."""
+    from pyspark.sql import functions as F
+
     from picsure_dictionary_etl_spark.lake.table import bucket_expr
 
     snap = LakeTable(None, os.path.abspath(root)).current()
-    return df.withColumn(
+    out = df.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count)
     )
+    if repartition:
+        out = out.repartition(F.col(BUCKET_COL))
+    return out
