@@ -65,13 +65,13 @@ wrongness): payload/key column types outside the xxhash64 twin's
 surface — since r6 that surface includes float, date, binary,
 ``decimal(p,s)`` at ANY precision (p<=18 hashes the unscaled LONG,
 wider the ``BigInteger.toByteArray`` twos-complement bytes — both
-Spark-bit-equal), ``timestamp_ntz``, and ONE level of
-``array<scalar>`` / ``struct<scalar...>`` over the FULL scalar set
-(element-chained hashing with null-skip, exact vectorized
-element-wise diff) alongside the original
-string/int/long/bool/timestamp/double — so what's left is maps,
-deeper nesting, and nested KEY columns — rejected when the stream is
-planned; and a
+Spark-bit-equal), ``timestamp_ntz``, and ``array``/``struct`` nesting
+at ANY depth over the FULL scalar set (recursive element-chained
+hashing with null-skip, recursive vectorized element-wise diff)
+alongside the original string/int/long/bool/timestamp/double — so
+what's left is exactly what Spark's own ``xxhash64`` cannot hash
+(maps), plus nested KEY columns (the key join factorizes scalar
+values) — rejected when the stream is planned; and a
 caller-supplied ``.schema(...)`` must match the source schema exactly
 (a reordered payload would silently change the equal-LSN tie-break
 hash order). Non-UTF-8 BINARY payloads diff correctly in both planes:
@@ -259,14 +259,12 @@ def _parse_type(t: str):
     return ("scalar", t)
 
 
-def _td_supported(td, nested: bool) -> bool:
+def _td_supported(td, nested: bool = False) -> bool:
     kind = td[0]
     if kind == "decimal":
         return True  # any precision: p<=18 unscaled-long, p>18 byte-array
     if kind == "scalar":
         return td[1] in (NESTED_SCALAR_TYPES if nested else SUPPORTED_TYPES)
-    if nested:  # one nesting level only: array<array<..>>, struct-in-
-        return False  # array etc. stay typed seams
     if kind == "array":
         return _td_supported(td[1], nested=True)
     if kind == "struct":
@@ -280,10 +278,12 @@ def _type_supported(t: str) -> bool:
     """Whitelist predicate over Spark simpleString type names: all
     supported scalars, ``decimal(p,s)`` at ANY precision (p<=18 hashes
     the unscaled LONG, wider the twos-complement byte array — both
-    Spark-bit-equal), plus ONE level of ``array<scalar>`` /
-    ``struct<scalar...>``. Maps, deeper nesting, and nested timestamps
-    stay typed plan-time seams."""
-    return _td_supported(_parse_type(t), nested=False)
+    Spark-bit-equal), plus ``array<...>`` / ``struct<...>`` at ANY
+    nesting depth over that scalar set (the hash twin element-chains
+    recursively; the diff compares recursively). What's left out is
+    exactly what Spark itself cannot hash: maps (``F.xxhash64`` rejects
+    MapType) — a typed plan-time seam, matching the engine."""
+    return _td_supported(_parse_type(t))
 
 
 def _java_bigint_bytes(v: int) -> bytes:
@@ -631,11 +631,15 @@ def _arrow_elem_same(vo, vn, td):
     """Positionally-aligned arrow arrays -> boolean 'same' mask with
     the engine's scalar semantics: both-null same, null vs value a
     change; double/float compare NaN==NaN as same and +-0.0 as a
-    change; everything else exact ``pc.equal``."""
+    change; everything else exact ``pc.equal``. Nested element types
+    (array-of-array, struct fields holding arrays, ...) recurse back
+    through :func:`_arrow_nested_same` — depth-unbounded."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if td[0] in ("array", "struct"):
+        return _arrow_nested_same(vo, vn, td)
     eno = pc.is_null(vo).to_numpy(zero_copy_only=False)
     enn = pc.is_null(vn).to_numpy(zero_copy_only=False)
     if td[0] == "scalar" and td[1] in ("double", "float"):
@@ -656,19 +660,26 @@ def _arrow_elem_same(vo, vn, td):
 
 
 def _nested_col_same(o, n, td, pa_type):
-    """Vectorized 'unchanged' mask for ONE-level nested columns.
+    """Vectorized 'unchanged' mask for nested (array/struct) pandas
+    columns: unwrap to arrow, then :func:`_arrow_nested_same`."""
+    return _arrow_nested_same(_as_arrow(o, pa_type), _as_arrow(n, pa_type), td)
+
+
+def _arrow_nested_same(ao, an, td):
+    """Vectorized 'unchanged' mask for nested arrow arrays, ANY depth
+    (mutual recursion with :func:`_arrow_elem_same`).
 
     Arrays: lengths via ``bincount(list_parent_indices)`` (slice- and
     null-row-safe), then a single positional gather aligns both sides'
     flattened element buffers for candidate rows (non-null, equal
     length) and one ``_arrow_elem_same`` pass + per-row mismatch
-    bincount decides — no per-row Python anywhere. Structs: field-wise
-    ``_arrow_elem_same`` under the top-level validity mask."""
+    bincount decides — no per-row Python anywhere, at any level.
+    Structs: field-wise ``_arrow_elem_same`` under the level's validity
+    mask (child slots under null parents are arbitrary — masked)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ao, an = _as_arrow(o, pa_type), _as_arrow(n, pa_type)
     na_o = pc.is_null(ao).to_numpy(zero_copy_only=False)
     na_n = pc.is_null(an).to_numpy(zero_copy_only=False)
     both = ~na_o & ~na_n
@@ -974,10 +985,11 @@ def _check_supported(root: str, snap: Snapshot) -> None:
     if bad:
         raise NotImplementedError(
             f"lake_cdf supports column types {sorted(SUPPORTED_TYPES)}, "
-            f"decimal(p,s) at any precision, and ONE level of "
-            f"array<scalar>/struct<scalar...>; table {root} carries "
-            f"unsupported column(s) {bad} — use "
-            f"table_changes()/ChangeFeedConsumer for this table"
+            f"decimal(p,s) at any precision, and array/struct nesting at "
+            f"any depth over those; table {root} carries unsupported "
+            f"column(s) {bad} (maps — which Spark's own xxhash64 also "
+            f"rejects) — use table_changes()/ChangeFeedConsumer for this "
+            f"table"
         )
     by_name = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
     nested_keys = [

@@ -202,6 +202,34 @@ def test_python_xxhash64_matches_spark(spark):
     for r, g in zip(rows4, got4):
         assert spark_xxhash64(list(r), types4) == g["h"], r
 
+    # depth-unbounded nesting (late r6): array<array<long>>,
+    # array<struct<..array..>>, struct<struct<..>, array<..>> — the
+    # twin recurses with the same null-skip at every level
+    rows5 = [
+        ([[1, 2], [], None, [3, None]],
+         [{"k": "a", "vs": [1.5, float("nan")]}, None],
+         {"inner": {"x": 7}, "tags": ["t1", None]}),
+        ([[]], [], {"inner": None, "tags": []}),
+        (None, [{"k": None, "vs": None}], None),
+        ([[0], [0]], [{"k": "", "vs": [-0.0]}],
+         {"inner": {"x": None}, "tags": None}),
+    ]
+    schema5 = T.StructType([
+        T.StructField("aa", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("asx", T.ArrayType(T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("vs", T.ArrayType(T.DoubleType()))]))),
+        T.StructField("sn", T.StructType([
+            T.StructField("inner", T.StructType([
+                T.StructField("x", T.LongType())])),
+            T.StructField("tags", T.ArrayType(T.StringType()))])),
+    ])
+    types5 = [f.dataType.simpleString() for f in schema5.fields]
+    got5 = spark.createDataFrame(rows5, schema5).select(
+        F.xxhash64(*[f.name for f in schema5.fields]).alias("h")).collect()
+    for r, g in zip(rows5, got5):
+        assert spark_xxhash64(list(r), types5) == g["h"], r
+
 
 def test_pandas_resolve_matches_engine_on_equal_lsn_ties(spark):
     """Equal-LSN rows for one key: the engine breaks the tie by
@@ -823,6 +851,84 @@ def test_nested_payload_types_stream_matches_batch_cdf(spark, tmp_path):
     assert got_stream == want_full
 
 
+def test_deep_nested_payloads_stream_matches_batch_cdf(spark, tmp_path):
+    """Depth-unbounded nesting end to end (late r6): array<array<long>>,
+    array<struct<..,array<double>>> and struct<struct,array> payloads
+    stream bit-equal to table_changes — inner-level ambiguity
+    ([['a, b']] -> [['a','b']]) classifies as a change, a deep NaN
+    re-assert does NOT, a deep [] vs NULL does, and an equal-LSN tie
+    resolves via the recursive hash twin identically in both planes."""
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        _CdfStreamReader,
+    )
+
+    root = str(tmp_path / "deep")
+    tschema = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("aa", T.ArrayType(T.ArrayType(T.StringType())), True),
+        T.StructField("asx", T.ArrayType(T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("vs", T.ArrayType(T.DoubleType()))])), True),
+        T.StructField("sn", T.StructType([
+            T.StructField("inner", T.StructType([
+                T.StructField("x", T.LongType())])),
+            T.StructField("tags", T.ArrayType(T.StringType()))]), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, root, schema=tschema, key_cols=["id"],
+                         bucket_count=2)
+    ev_schema = T.StructType(
+        [T.StructField("_lsn", T.LongType(), False),
+         T.StructField("_op", T.StringType(), False)] + list(tschema.fields[:4])
+    )
+    nan = float("nan")
+    merge_into(t, spark.createDataFrame([
+        (1, "I", "a", [["a, b"]], [{"k": "x", "vs": [1.0, nan]}],
+         {"inner": {"x": 1}, "tags": ["t"]}),
+        (2, "I", "b", [[]], [], {"inner": None, "tags": []}),
+        (3, "I", "c", None, [{"k": None, "vs": [2.5]}],
+         {"inner": {"x": None}, "tags": None}),
+    ], ev_schema), "b1")
+    v1 = t.current_version()
+    merge_into(t, spark.createDataFrame([
+        # inner-level ambiguity: [['a, b']] -> [['a','b']] must be U
+        (4, "U", "a", [["a", "b"]], [{"k": "x", "vs": [1.0, nan]}],
+         {"inner": {"x": 1}, "tags": ["t"]}),
+        # deep [] -> NULL inner array must be U
+        (5, "U", "b", [None], [], {"inner": None, "tags": []}),
+        # byte-identical deep re-assert (NaN inside): NOT a change
+        (6, "U", "c", None, [{"k": None, "vs": [2.5]}],
+         {"inner": {"x": None}, "tags": None}),
+        # equal-LSN tie on a fresh key -> recursive tie-break hash
+        (7, "I", "e", [["p"]], [{"k": "a", "vs": [1.0]}], None),
+        (7, "I", "e", [["q"]], [{"k": "b", "vs": [2.0]}], None),
+    ], ev_schema), "b2")
+    v2 = t.current_version()
+
+    cols = ["_change", "id", "aa", "asx", "sn", "_lsn"]
+    rd = _CdfStreamReader({"path": root})
+    for sv, ev_ in [(v1, v2), (0, v2)]:
+        got = set()
+        for p in rd.partitions({"version": sv}, {"version": ev_}):
+            for batch in rd.read(p):
+                for row in batch.to_pylist():
+                    got.add(tuple(_canon(row[c]) for c in cols))
+        want = {
+            tuple(_canon(r.asDict(recursive=True)[c]) for c in cols)
+            for r in table_changes(t, sv, ev_).select(*cols).collect()
+        }
+        assert got == want, f"span {sv}->{ev_}"
+    span_keys = set()
+    for p in rd.partitions({"version": v1}, {"version": v2}):
+        for batch in rd.read(p):
+            span_keys |= {row["id"] for row in batch.to_pylist()}
+    assert span_keys == {"a", "b", "e"}  # c byte-identical: no row
+
+
 def test_fieldwise_table_with_array_column_streams(spark, tmp_path):
     """Field-wise (_pu) resolve over a nested column: a partial update
     that leaves the array unspecified must keep the older array value
@@ -1075,7 +1181,9 @@ def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     with pytest.raises(NotImplementedError, match=r"m:map<string,string>"):
         _CdfStreamReader({"path": root})  # plan time, not first tie
 
-    # deeper nesting (array-of-array, array-in-struct) is a seam too
+    # deeper nesting (array-of-array, array-in-struct) is REAL since
+    # late r6 — it must PLAN cleanly; a map buried INSIDE nesting is
+    # still out (Spark's own xxhash64 rejects maps at any depth)
     root2 = str(tmp_path / "dt2")
     schema2 = T.StructType([
         T.StructField("id", T.StringType(), False),
@@ -1087,11 +1195,21 @@ def test_unsupported_seams_are_typed_plan_time_errors(spark, tmp_path):
     ])
     LakeTable.create(spark, root2, schema=schema2, key_cols=["id"],
                      bucket_count=2)
-    with pytest.raises(
-        NotImplementedError,
-        match=r"aa:array<array<bigint>>.*sa:struct<a:array<bigint>>",
-    ):
-        _CdfStreamReader({"path": root2})
+    _CdfStreamReader({"path": root2})  # plans fine: deep nesting is real
+
+    root2b = str(tmp_path / "dt2b")
+    schema2b = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("am", T.ArrayType(
+            T.MapType(T.StringType(), T.LongType())), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    LakeTable.create(spark, root2b, schema=schema2b, key_cols=["id"],
+                     bucket_count=2)
+    with pytest.raises(NotImplementedError,
+                       match=r"am:array<map<string,bigint>>"):
+        _CdfStreamReader({"path": root2b})
 
     # nested KEY columns fail typed even though the TYPE is supported
     root3 = str(tmp_path / "dt3")
