@@ -171,3 +171,18 @@ def test_batch_read_bad_bounds_fail_typed_at_plan_time(spark, tmp_path):
         _CdfBatchReader({"path": root, "maxversionsperbatch": "2"})
     with pytest.raises(ValueError, match="paces a STREAM"):
         _CdfBatchReader({"path": root, "maxbytesperbatch": "1024"})
+
+
+def test_batch_read_on_file_uri_root(spark, tmp_path):
+    """URI table roots batch-read through the same pyarrow.fs plane the
+    stream uses (datasource callbacks have no JVM): a file:-URI root
+    matches table_changes span-for-span."""
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root, t = _table(spark, tmp_path)
+    cur = t.current_version()
+    uri = "file://" + root
+    got = _rows(_read(spark, uri, startversion=1))
+    assert got == _rows(table_changes(t, 1, cur))
+    snap = _read(spark, uri, initialsnapshot="true")
+    assert snap.count() == 2 and \
+        {r["_change"] for r in snap.select("_change").collect()} == {"I"}
