@@ -532,6 +532,104 @@ def q_lake_time_travel(spark, sf_dir):
     )
 
 
+def q_cdf_batch_span(spark, sf_dir):
+    """The lake_cdf Python-datasource BATCH read path under the driver's
+    value-hash gate: apply the derived WAL into an on-disk LakeTable in
+    two MOR commits split at the median LSN, then
+    ``spark.read.format("lake_cdf").option("startversion", v_cut)`` —
+    the span's I/U/D rows must equal the classification between the
+    two plain LWW folds (old = lsn<=cut, new = all), which is the
+    DuckDB oracle (lake- and datasource-blind): I = key live only
+    after; D = key live only before (row carries the PREIMAGE lsn and
+    null payload); U = live in both with a changed (event_type, value)
+    pair or an advanced winner lsn. Exercises the executor-side
+    pyarrow resolve + vectorized diff + arrow-batch yield end to end.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import merge_into
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+    from picsure_dictionary_etl_spark.streaming.cdf_source import (
+        LakeChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    cdc = _events_as_cdc(spark, sf_dir).filter(F.col("turn_idx").isNotNull())
+    cut = cdc.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0]
+    src = cdc.select(
+        "user_id", "turn_idx", "event_type", "value",
+        F.col("op").alias("_op"), F.col("lsn").alias("_lsn"),
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    root = tempfile.mkdtemp(prefix="lake_cdf_span_") + "/t"
+    t = LakeTable.create(spark, root, schema=schema,
+                         key_cols=["user_id", "turn_idx"], bucket_count=8)
+    merge_into(t, src.filter(F.col("_lsn") <= cut), "span-1")
+    v_cut = t.current_version()
+    merge_into(t, src.filter(F.col("_lsn") > cut), "span-2")
+    feed = (
+        spark.read.format("lake_cdf")
+        .option("path", root)
+        .option("startversion", str(v_cut))
+        .load()
+    )
+    return feed.select(
+        "_change", "user_id", "turn_idx",
+        F.col("event_type").alias("new_event_type"),
+        F.col("value").alias("new_value"),
+        F.col("_lsn").alias("change_lsn"),
+    )
+
+
+SQL_CDF_BATCH_SPAN = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), cut AS (
+  SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS c FROM ev
+), fold_old AS (
+  SELECT user_id, turn_idx, arg_max(op, lsn) AS op,
+         arg_max(event_type, lsn) AS et, arg_max(value, lsn) AS v,
+         max(lsn) AS lsn
+  FROM ev, cut WHERE lsn <= cut.c AND turn_idx IS NOT NULL
+  GROUP BY user_id, turn_idx
+), fold_new AS (
+  SELECT user_id, turn_idx, arg_max(op, lsn) AS op,
+         arg_max(event_type, lsn) AS et, arg_max(value, lsn) AS v,
+         max(lsn) AS lsn
+  FROM ev WHERE turn_idx IS NOT NULL GROUP BY user_id, turn_idx
+), o AS (SELECT * FROM fold_old WHERE op <> 'D'),
+   n AS (SELECT * FROM fold_new WHERE op <> 'D')
+-- change = payload difference ONLY: a key re-asserted with an
+-- identical payload at a higher lsn emits NOTHING (state_diff hashes
+-- payload columns, never _lsn)
+SELECT CASE WHEN o.user_id IS NULL THEN 'I'
+            WHEN n.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS _change,
+       COALESCE(n.user_id, o.user_id) AS user_id,
+       COALESCE(n.turn_idx, o.turn_idx) AS turn_idx,
+       n.et AS new_event_type,
+       n.v AS new_value,
+       COALESCE(n.lsn, o.lsn) AS change_lsn
+FROM o FULL OUTER JOIN n
+  ON o.user_id = n.user_id AND o.turn_idx = n.turn_idx
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR (o.et IS DISTINCT FROM n.et) OR (o.v IS DISTINCT FROM n.v)
+"""
+
+
 SQL_LAKE_TIME_TRAVEL = """
 WITH ev AS (
   SELECT event_id AS lsn, user_id,
@@ -2060,17 +2158,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict (59 entries total). Rotation policy (r6,
+    # prefix of this dict (60 entries total). Rotation policy (r6,
     # same rule as r5): the queries whose last driver row is OLDEST
     # lead the prefix — the six trivials whose evidence is from r4
     # (token_counts, sorted_export, group_size_max, depth_layer_counts,
     # canonical_json_hash, doc_fingerprint) re-enter slots 0-5 — the
-    # new multimodal_real_decode_video (MP4), cdf_fold_materialize and
-    # lake_time_travel (no evidence yet) join the prefix, and the tail
-    # (indices 50-58) holds nine simple queries freshly certified in r5
+    # new multimodal_real_decode_video (MP4), cdf_fold_materialize,
+    # lake_time_travel and cdf_batch_span (no evidence yet) join the
+    # prefix, and the tail
+    # (indices 50-59) holds ten simple queries freshly certified in r5
     # (window_latest_k, minhash_lsh_candidates, distinct_sorted,
     # count_per_key, eav_pivot, eav_unpivot, first_wins_pick,
-    # study_filter, windowed_event_counts), so every entry's driver
+    # study_filter, windowed_event_counts, key_filtered_join), so every
+    # entry's driver
     # evidence stays <=2 rounds old and the bounded prefix never ships
     # an unverified operator.
     return {
@@ -2099,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdf_fold_materialize": q_cdf_fold_materialize,
         "lake_time_travel": q_lake_time_travel,
+        "cdf_batch_span": q_cdf_batch_span,
         "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
@@ -2110,7 +2211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_rollup": q_hierarchical_rollup,
         "change_detection_hash": q_change_detection_hash,
         "multiway_join_revenue": q_multiway_join_revenue,
-        "key_filtered_join": q_key_filtered_join,
         "regex_extract_families": q_regex_extract_families,
         "parent_backfill": q_parent_backfill,
         "index_aligned_pivot": q_index_aligned_pivot,
@@ -2139,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_wins_pick": q_first_wins_pick,
         "study_filter": q_study_filter,
         "windowed_event_counts": q_windowed_event_counts,
+        "key_filtered_join": q_key_filtered_join,
     }
 
 
@@ -2158,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed": SQL_CDC_CHANGE_FEED,
         "cdf_fold_materialize": SQL_CDF_FOLD_MATERIALIZE,
         "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
+        "cdf_batch_span": SQL_CDF_BATCH_SPAN,
         "embedding_near_dups_multiprobe": SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
