@@ -123,11 +123,16 @@ class _LakeSinkWriter(DataSourceStreamArrowWriter):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("lake sink requires .option('path', <table_root>)")
+        if self.root.startswith("file:"):
+            # a file: URI IS a POSIX path — strip the scheme (and the
+            # optional //) and take the fast path like the source does
+            p = self.root[5:]
+            self.root = "/" + p.lstrip("/") if p.startswith("/") else p
         if _is_uri(self.root):
             raise NotImplementedError(
                 "lake sink v1 commits through PosixMetadataIO (datasource "
                 "callbacks have no JVM for the Hadoop commit point); use "
-                "foreachBatch + merge_into for URI table roots"
+                "foreachBatch + merge_into for non-file URI table roots"
             )
         if overwrite:
             raise NotImplementedError(

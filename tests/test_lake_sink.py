@@ -193,6 +193,9 @@ def test_batch_writer_and_typed_errors(spark, tmp_path):
     sch = change_event_schema()
     with pytest.raises(NotImplementedError, match="URI table roots"):
         _LakeSinkWriter({"path": "s3a://b/t"}, sch, False)
+    # file: URIs ARE POSIX paths — accepted, same table
+    w = _LakeSinkWriter({"path": "file://" + root}, sch, False)
+    assert w.root == root
     with pytest.raises(NotImplementedError, match="append output only"):
         _LakeSinkWriter({"path": root}, sch, True)
     bad = T.StructType([f for f in sch.fields if f.name != "text"])
