@@ -15,10 +15,16 @@ progressive or multi-scan; 4:4:4 or subsampled; 8-bit, or 12-bit
 grayscale via ``encode_jpeg(..., precision=12)``), and **lossless**
 (SOF3, T.81 Annex H: predictors 1-7, modulo-2^16 differences,
 point transform, restart intervals, 2..16-bit samples, up to 4
-components — lossless, so ANY pattern certifies exactly, like PNG).
-Arithmetic coding, 12-bit COLOR in the DCT modes, and hierarchical
-(SOF5-7/13-15) stay an honest ``NotImplementedError`` seam — exactly
-like the PPM/WAV split in ``operators/multimodal.py``.
+components — lossless, so ANY pattern certifies exactly, like PNG),
+and **arithmetic coding** (SOF9 extended sequential, T.81 Annexes D/F:
+the full QM coder — Table D.3 state machine, byte stuffing, carry
+propagation over stacked 0xFF bytes, D.1.8 flush — plus the DC/AC
+statistical models with DAC conditioning and restart-marker resets;
+decoder AND encoder, verified two-way bit-identical against
+libjpeg-turbo, including an embedded cross-implementation fixture).
+Progressive ARITHMETIC (SOF10), 12-bit COLOR in the DCT modes, and
+hierarchical (SOF5-7/13-15) stay an honest ``NotImplementedError``
+seam — exactly like the PPM/WAV split in ``operators/multimodal.py``.
 
 Subsampled chroma upsamples by pixel replication (JFIF allows any
 upsampling filter; replication is the exact inverse of box-average
@@ -201,13 +207,14 @@ class _BitReader:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline sequential (SOF0, single- OR multi-scan) or
-    progressive (SOF2) JFIF payload to an (h, w, 3) uint8 array
-    (grayscale replicated across channels; 12-bit and 16-bit lossless
-    frames return uint16). Lossless (SOF3) frames delegate to
+    """Decode a baseline sequential (SOF0, single- OR multi-scan),
+    progressive (SOF2) or extended sequential ARITHMETIC (SOF9, QM
+    coder) JFIF payload to an (h, w, 3) uint8 array (grayscale
+    replicated across channels; 12-bit and 16-bit lossless frames
+    return uint16). Lossless (SOF3) frames delegate to
     :func:`decode_jpeg_lossless`. Raises ``ValueError`` on malformed
     data and ``NotImplementedError`` on legal-but-unsupported variants
-    (arithmetic coding, hierarchical modes)."""
+    (progressive arithmetic, hierarchical modes)."""
     if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
 
@@ -217,6 +224,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, (hs, vs), tq)])
     prec = 8      # sample precision from SOF (8, or 12 for grayscale SOF1/SOF2)
     progressive = False
+    arith = False  # SOF9: QM-coded entropy data (T.81 Annexes D/F)
+    cond_dc: dict[int, tuple[int, int]] = {}  # DAC: tid -> (L, U)
+    cond_ac: dict[int, int] = {}  # DAC: tid -> Kx
     coefs = None  # per-comp (bh, bw, 64) int32, zigzag order (buffered path)
     scans_done = 0
     dri = 0
@@ -259,14 +269,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 f"decode_jpeg wraps 1- or 3-component lossless frames; "
                 f"got {arr.shape[2]} components (use decode_jpeg_lossless)"
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only sequential (SOF0/SOF1), progressive (SOF2) and "
-                f"lossless (SOF3) huffman JPEG supported, got "
-                f"SOF{marker - 0xC0}"
+                f"only sequential (SOF0/SOF1), progressive (SOF2), "
+                f"lossless (SOF3) huffman and extended sequential "
+                f"arithmetic (SOF9) JPEG supported, got SOF{marker - 0xC0}"
             )
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec = seg[0]
             if prec not in (8, 12):
                 raise NotImplementedError(
@@ -311,6 +322,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + nv])
                 (huff_ac if cls else huff_dc)[tid] = _decode_table(bits, vals)
                 j += 17 + nv
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            j = 0
+            while j + 1 < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                val = seg[j + 1]
+                if cls == 0:
+                    cond_dc[tid] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    cond_ac[tid] = val  # Kx
+                j += 2
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows
@@ -326,6 +347,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
+            if arith:
+                if ns != len(frame[2]) or scans_done:
+                    raise NotImplementedError(
+                        "arithmetic JPEG: single interleaved scan only "
+                        "(non-interleaved/multi-scan stays a seam)"
+                    )
+                return _decode_scan_arith(
+                    b, i + 2 + seg_len, frame, qt, scan_tables, dri,
+                    cond_dc, cond_ac, prec,
+                )
             if not progressive and ns == len(frame[2]) and scans_done == 0:
                 # fast path: single interleaved full-band sequential scan
                 return _decode_scan(
@@ -1244,3 +1275,532 @@ def decode_jpeg_lossless(b: bytes) -> np.ndarray:
             return np.stack(outs, axis=-1)
         i += 2 + seg_len
     raise ValueError("no scan (SOS) found")
+
+
+
+# ---------------------------------------------------------------------------
+# arithmetic entropy coding (extended sequential, SOF9) — T.81 Annexes D & F
+# ---------------------------------------------------------------------------
+
+# ITU-T T.81 Table D.3 (Qe values and probability estimation state
+# machine), 113 adaptive states + the fixed non-adaptive 0.5 state
+# (index 113) used for AC sign decisions (F.1.4.4.2). Packed per row as
+# (Qe, Next_Index_MPS, Next_Index_LPS | Switch_MPS<<7) — the XOR trick:
+# a stats byte is (MPS << 7) | index, so "index = NLPS, flip MPS iff
+# Switch" is one ``(sv & 0x80) ^ nlps_sw``. Spec constants, verified
+# against the canonical published values (first rows 0x5A1D/1/1/1,
+# 0x2586/2/14, ..., last adaptive row 0x59EB/111/112/1) and by
+# cross-implementation decode tests.
+_ARITH_TAB = (
+    (0x5A1D, 1, 0x81), (0x2586, 2, 0x0E), (0x1114, 3, 0x10), (0x080B, 4, 0x12),
+    (0x03D8, 5, 0x14), (0x01DA, 6, 0x17), (0x00E5, 7, 0x19), (0x006F, 8, 0x1C),
+    (0x0036, 9, 0x1E), (0x001A, 10, 0x21), (0x000D, 11, 0x23), (0x0006, 12, 0x09),
+    (0x0003, 13, 0x0A), (0x0001, 13, 0x0C), (0x5A7F, 15, 0x8F), (0x3F25, 16, 0x24),
+    (0x2CF2, 17, 0x26), (0x207C, 18, 0x27), (0x17B9, 19, 0x28), (0x1182, 20, 0x2A),
+    (0x0CEF, 21, 0x2B), (0x09A1, 22, 0x2D), (0x072F, 23, 0x2E), (0x055C, 24, 0x30),
+    (0x0406, 25, 0x31), (0x0303, 26, 0x33), (0x0240, 27, 0x34), (0x01B1, 28, 0x36),
+    (0x0144, 29, 0x38), (0x00F5, 30, 0x39), (0x00B7, 31, 0x3B), (0x008A, 32, 0x3C),
+    (0x0068, 33, 0x3E), (0x004E, 34, 0x3F), (0x003B, 35, 0x20), (0x002C, 9, 0x21),
+    (0x5AE1, 37, 0xA5), (0x484C, 38, 0x40), (0x3A0D, 39, 0x41), (0x2EF1, 40, 0x43),
+    (0x261F, 41, 0x44), (0x1F33, 42, 0x45), (0x19A8, 43, 0x46), (0x1518, 44, 0x48),
+    (0x1177, 45, 0x49), (0x0E74, 46, 0x4A), (0x0BFB, 47, 0x4B), (0x09F8, 48, 0x4D),
+    (0x0861, 49, 0x4E), (0x0706, 50, 0x4F), (0x05CD, 51, 0x30), (0x04DE, 52, 0x32),
+    (0x040F, 53, 0x32), (0x0363, 54, 0x33), (0x02D4, 55, 0x34), (0x025C, 56, 0x35),
+    (0x01F8, 57, 0x36), (0x01A4, 58, 0x37), (0x0160, 59, 0x38), (0x0125, 60, 0x39),
+    (0x00F6, 61, 0x3A), (0x00CB, 62, 0x3B), (0x00AB, 63, 0x3D), (0x008F, 32, 0x3D),
+    (0x5B12, 65, 0xC1), (0x4D04, 66, 0x50), (0x412C, 67, 0x51), (0x37D8, 68, 0x52),
+    (0x2FE8, 69, 0x53), (0x293C, 70, 0x54), (0x2379, 71, 0x56), (0x1EDF, 72, 0x57),
+    (0x1AA9, 73, 0x57), (0x174E, 74, 0x48), (0x1424, 75, 0x48), (0x119C, 76, 0x4A),
+    (0x0F6B, 77, 0x4A), (0x0D51, 78, 0x4B), (0x0BB6, 79, 0x4D), (0x0A40, 48, 0x4D),
+    (0x5832, 81, 0xD0), (0x4D1C, 82, 0x58), (0x438E, 83, 0x59), (0x3BDD, 84, 0x5A),
+    (0x34EE, 85, 0x5B), (0x2EAE, 86, 0x5C), (0x299A, 87, 0x5D), (0x2516, 71, 0x56),
+    (0x5570, 89, 0xD8), (0x4CA9, 90, 0x5F), (0x44D9, 91, 0x60), (0x3E22, 92, 0x61),
+    (0x3824, 93, 0x63), (0x32B4, 94, 0x63), (0x2E17, 86, 0x5D), (0x56A8, 96, 0xDF),
+    (0x4F46, 97, 0x65), (0x47E5, 98, 0x66), (0x41CF, 99, 0x67), (0x3C3D, 100, 0x68),
+    (0x375E, 93, 0x63), (0x5231, 102, 0x69), (0x4C0F, 103, 0x6A), (0x4639, 104, 0x6B),
+    (0x415E, 99, 0x67), (0x5627, 106, 0xE9), (0x50E7, 107, 0x6C), (0x4B85, 103, 0x6D),
+    (0x5597, 109, 0x6E), (0x504F, 107, 0x6F), (0x5A10, 111, 0xEE), (0x5522, 109, 0x70),
+    (0x59EB, 111, 0xF0), (0x5A1D, 113, 0x71),
+)
+
+
+class _ArithDecoder:
+    """QM arithmetic decoder per T.81 F.2.2 over one entropy-coded
+    segment. Byte feed follows B.1.1.5: a 0x00 after 0xFF is stuffing
+    (deliver 0xFF); any real marker ends the segment — decoding then
+    continues against zero bytes until the block loop finishes (legal
+    in arithmetic coding, unlike huffman). Register formulation: C
+    accumulates raw bytes and CT tracks the bit offset of the A window
+    (the interval bound is A << CT), so renormalization shifts A and
+    decrements CT instead of shifting C — the invariant is
+    C < (A << CT)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # two initial BYTEINs before the first decision
+        self.marker = False
+
+    def _byte(self) -> int:
+        if self.marker or self.i >= len(self.d):
+            return 0  # past a marker: decode against zero data (F.2.2.2)
+        b = self.d[self.i]
+        if b == 0xFF:
+            j = self.i + 1
+            while j < len(self.d) and self.d[j] == 0xFF:
+                j += 1  # B.1.1.2 fill bytes
+            nxt = self.d[j] if j < len(self.d) else 0xD9
+            if nxt == 0x00:
+                self.i = j + 1
+                return 0xFF  # stuffed zero: the data byte is 0xFF
+            self.marker = True  # leave i at the marker for the caller
+            return 0
+        self.i += 1
+        return b
+
+    def restart(self) -> None:
+        """Consume an expected RSTn and re-init the registers (the
+        stats reset is the caller's job — it owns the arrays)."""
+        if (
+            self.i + 1 < len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+        self.c = 0
+        self.a = 0
+        self.ct = -16
+        self.marker = False
+
+    def decode(self, st: bytearray, k: int) -> int:
+        # renormalization + byte feed (F.2.2.1); also performs the
+        # initial two-byte load via the CT=-16 seed
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # -> 0x10000 after the shift below
+            a <<= 1
+        sv = st[k]
+        qe, nm, nl = _ARITH_TAB[sv & 0x7F]
+        a -= qe
+        bound = a << ct
+        if c >= bound:
+            c -= bound
+            # upper subinterval: LPS, or MPS by conditional exchange
+            if a < qe:
+                st[k] = (sv & 0x80) ^ nm  # exchange: decode MPS
+            else:
+                st[k] = (sv & 0x80) ^ nl
+                sv ^= 0x80  # decode LPS
+            a = qe
+        elif a < 0x8000:
+            # lower subinterval needing renorm: exchanges possible
+            if a < qe:
+                st[k] = (sv & 0x80) ^ nl
+                sv ^= 0x80  # conditional exchange: decode LPS
+            else:
+                st[k] = (sv & 0x80) ^ nm
+        self.a, self.c, self.ct = a, c, ct
+        return sv >> 7
+
+
+class _ArithEncoder:
+    """QM arithmetic encoder per T.81 D.1: bit stuffing (a 0x00 byte
+    after every emitted 0xFF), carry propagation over stacked 0xFF
+    bytes via the counter scheme, and the D.1.8 flush that picks the
+    in-interval code value with the most trailing zero bits."""
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1  # pending byte (may still take a carry)
+        self.sc = 0  # stacked 0xFF bytes (a carry converts them to 0x00)
+        self.zc = 0  # pending 0x00 bytes (dropped if nothing follows)
+        self.out = bytearray()
+
+    def _flush_pending(self, carry: bool) -> None:
+        if carry:
+            if self.buffer >= 0:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)  # B.1.1.5 byte stuffing
+            self.zc += self.sc  # carry turns stacked 0xFF into 0x00
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                self.out.append(self.buffer)
+            if self.sc:
+                while self.zc:
+                    self.out.append(0x00)
+                    self.zc -= 1
+                while self.sc:
+                    self.out.append(0xFF)
+                    self.out.append(0x00)
+                    self.sc -= 1
+
+    def encode(self, st: bytearray, k: int, bit: int) -> None:
+        sv = st[k]
+        qe, nm, nl = _ARITH_TAB[sv & 0x7F]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS path (conditional exchange when the MPS side shrank
+            # below Qe: code the LARGER subinterval for the LPS)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[k] = (sv & 0x80) ^ nl
+        else:
+            # MPS path
+            if self.a >= 0x8000:
+                return  # no renormalization due: done
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[k] = (sv & 0x80) ^ nm
+        # renormalization + byte out (D.1.6)
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:
+                    self._flush_pending(carry=True)
+                    # the spacer bits guarantee the post-carry byte
+                    # cannot itself be 0xFF
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1  # stack it: a later carry may bump it
+                else:
+                    self._flush_pending(carry=False)
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: clear final bits + output what remains."""
+        temp = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        self._flush_pending(carry=bool(self.c & 0xF8000000))
+        # final data bytes, only if nonzero (trailing zeros are implied;
+        # the & 0xFF below drops the already-consumed carry bit)
+        if self.c & 0x7FFF800:
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _ArithStats:
+    """Per-scan statistics areas + conditioning state (T.81 F.1.4.4):
+    one 64-bin DC area and one 256-bin AC area per table id, the DC
+    conditioning context + prediction per component, and the shared
+    fixed 0.5 bin (state 113) for AC signs."""
+
+    def __init__(self, n_comp: int):
+        self.dc: dict[int, bytearray] = {}
+        self.ac: dict[int, bytearray] = {}
+        self.dc_ctx = [0] * n_comp
+        self.last_dc = [0] * n_comp
+        self.fixed = bytearray([113])
+
+    def reset(self) -> None:
+        for area in self.dc.values():
+            for i in range(len(area)):
+                area[i] = 0
+        for area in self.ac.values():
+            for i in range(len(area)):
+                area[i] = 0
+        self.dc_ctx = [0] * len(self.dc_ctx)
+        self.last_dc = [0] * len(self.last_dc)
+
+    def dc_area(self, tid: int) -> bytearray:
+        return self.dc.setdefault(tid, bytearray(64))
+
+    def ac_area(self, tid: int) -> bytearray:
+        return self.ac.setdefault(tid, bytearray(256))
+
+
+def _arith_decode_dc(dec, stats, ci, td, cond_dc):
+    """F.2.4.1 Decode_DC_DIFF + the F.1.4.4.1.2 conditioning update.
+    Context layout per Table F.4: S0 = classification of the PREVIOUS
+    diff (0 zero / 4 small+ / 8 small- / 12 large+ / 16 large-),
+    SS = S0+1, SP/SN = S0+2/3, X1 = 20, magnitude bits at +14."""
+    st = stats.dc_area(td)
+    s0 = stats.dc_ctx[ci]
+    if dec.decode(st, s0) == 0:
+        stats.dc_ctx[ci] = 0
+        return stats.last_dc[ci]
+    sign = dec.decode(st, s0 + 1)
+    k = s0 + 2 + sign  # SP / SN
+    m = dec.decode(st, k)
+    if m:
+        k = 20  # X1
+        while dec.decode(st, k):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+            k += 1
+    low, up = cond_dc
+    if m < (1 << low) >> 1:
+        stats.dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[ci] = 12 + sign * 4
+    else:
+        stats.dc_ctx[ci] = 4 + sign * 4
+    v = m
+    k += 14  # M2..: magnitude-bit bins
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, k):
+            v |= m
+    v += 1
+    if sign:
+        v = -v
+    stats.last_dc[ci] += v
+    return stats.last_dc[ci]
+
+
+def _arith_decode_ac(dec, stats, ta, kx, coef):
+    """F.2.4.2 Decode_AC_coefficients into zigzag ``coef[1..63]``.
+    Context layout per Table F.5: 3 bins per index k (SE/S0/SP), the
+    fixed 0.5 bin for signs, X2 chains at 189 (k <= Kx) / 217."""
+    st = stats.ac_area(ta)
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            return  # EOB
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic AC run")
+            base = 3 * (k - 1)
+        sign = dec.decode(stats.fixed, 0)
+        pos = base + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m <<= 1
+                pos = 189 if k <= kx else 217  # X2 chains
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic AC magnitude")
+                    pos += 1
+        v = m
+        pos += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, pos):
+                v |= m
+        v += 1
+        coef[k] = -v if sign else v
+        k += 1
+
+
+def _decode_scan_arith(b, pos, frame, qt, scan_tables, dri, cond_dc,
+                       cond_ac, prec=8):
+    """Interleaved extended-sequential arithmetic scan (SOF9) — the
+    arithmetic twin of :func:`_decode_scan`: same MCU geometry, same
+    dequant/IDCT tail; the entropy stage is the QM decoder with the
+    DAC conditioning (defaults L=0, U=1, Kx=5 per T.81). An RSTn
+    resets the coder registers AND every statistics area."""
+    h, w, comps = frame
+    shift, maxv = float(1 << (prec - 1)), (1 << prec) - 1
+    hmax = max(hs for _, (hs, _), _ in comps)
+    vmax = max(vs for _, (_, vs), _ in comps)
+    mcw, mch = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mch * vs * 8, mcw * hs * 8), dtype=np.int32)
+        for _, (hs, vs), _ in comps
+    ]
+    dec = _ArithDecoder(b, pos)
+    stats = _ArithStats(len(comps))
+    mcu = 0
+    for my in range(mch):
+        for mx in range(mcw):
+            if dri and mcu and mcu % dri == 0:
+                dec.restart()
+                stats.reset()
+            for ci, (cid, (hs, vs), tq) in enumerate(comps):
+                td, ta = scan_tables[cid]
+                q = qt[tq]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        coef = np.zeros(64, dtype=np.int32)
+                        coef[0] = _arith_decode_dc(
+                            dec, stats, ci, td, cond_dc.get(td, (0, 1))
+                        )
+                        _arith_decode_ac(
+                            dec, stats, ta, cond_ac.get(ta, 5), coef
+                        )
+                        deq = np.zeros(64, dtype=np.float64)
+                        deq[ZIGZAG] = (coef * q).astype(np.float64)
+                        px = _T.T @ deq.reshape(8, 8) @ _T + shift
+                        px = np.clip(np.round(px), 0, maxv).astype(np.int32)
+                        r0, c0 = (my * vs + vy) * 8, (mx * hs + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu += 1
+    return _planes_to_rgb(planes, h, w, comps, hmax, vmax, prec)
+
+
+def _arith_encode_dc(enc, stats, ci, td, cond_dc, dc_val):
+    """F.1.4.1/F.1.4.4.1 Encode_DC_DIFF (Figures F.4, F.6-F.9)."""
+    st = stats.dc_area(td)
+    s0 = stats.dc_ctx[ci]
+    v = int(dc_val) - stats.last_dc[ci]
+    if v == 0:
+        enc.encode(st, s0, 0)
+        stats.dc_ctx[ci] = 0
+        return
+    stats.last_dc[ci] = int(dc_val)
+    enc.encode(st, s0, 1)
+    if v > 0:
+        enc.encode(st, s0 + 1, 0)
+        k = s0 + 2  # SP
+        sign = 0
+    else:
+        v = -v
+        enc.encode(st, s0 + 1, 1)
+        k = s0 + 3  # SN
+        sign = 1
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, k, 1)
+        m = 1
+        k = 20  # X1
+        v2 = v
+        while v2 > 1:
+            v2 >>= 1
+            enc.encode(st, k, 1)
+            m <<= 1
+            k += 1
+    enc.encode(st, k, 0)
+    low, up = cond_dc
+    if m < (1 << low) >> 1:
+        stats.dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        stats.dc_ctx[ci] = 12 + sign * 4
+    else:
+        stats.dc_ctx[ci] = 4 + sign * 4
+    k += 14
+    while m > 1:
+        m >>= 1
+        enc.encode(st, k, 1 if (m & v) else 0)
+
+
+def _arith_encode_ac(enc, stats, ta, kx, zz):
+    """F.1.4.2/F.1.4.4.2 Encode_AC_Coefficients (Figure F.5) over one
+    zigzag block."""
+    st = stats.ac_area(ta)
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(stats.fixed, 0, 0)
+            sign = 0
+        else:
+            v = -v
+            enc.encode(stats.fixed, 0, 1)
+            sign = 1
+        pos = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                v2 >>= 1
+                enc.encode(st, pos, 1)
+                m <<= 1
+                pos = 189 if k <= kx else 217
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(st, pos, 1 if (m & v) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_arithmetic(planes, qtable=None, sampling=None) -> bytes:
+    """Write an extended sequential ARITHMETIC-coded JFIF (SOF9 + DAC,
+    T.81 Annexes D/F) from 1 or 3 uint8 planes — the arithmetic twin of
+    :func:`encode_jpeg` (same front half: pad, subsample, FDCT,
+    quantize; the entropy stage is the QM coder with the default
+    conditioning L=0, U=1, Kx=5). Entropy coding is lossless, so any
+    payload that certifies exactly through the huffman pipeline
+    certifies exactly through this one."""
+    h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
+        planes, qtable, sampling, 8
+    )
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci in range(n):
+        hv = (hs << 4) | vs if ci == 0 else 0x11
+        sof += bytes([ci + 1, hv, 0])
+    out += _seg(0xC9, sof)  # SOF9: extended sequential, arithmetic
+    # DAC: DC table 0 conditioning (U=1)<<4 | (L=0); AC table 0 Kx=5
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    out += _sos(list(range(1, n + 1)), 0, 63, 0, 0)
+    enc = _ArithEncoder()
+    stats = _ArithStats(n)
+    for my in range(mch):
+        for mx in range(mcw):
+            for ci in range(n):
+                fh, fv = factors[ci]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        zz = coefs[ci][my * fv + vy, mx * fh + vx]
+                        _arith_encode_dc(enc, stats, ci, 0, (0, 1), zz[0])
+                        _arith_encode_ac(enc, stats, 0, 5, zz)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

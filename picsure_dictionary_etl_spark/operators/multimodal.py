@@ -612,7 +612,13 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
     selection + successive approximation scans, still bit-exact for
     constant blocks (DC = (dc>>1)<<1 | refine-bit, ACs zero) — so the
     oracle formulas are untouched while the query certifies the whole
-    multi-scan decode path."""
+    multi-scan decode path. Finally, ids ≡ 8, 9, 11 (mod 16) — all
+    previously plain-baseline classes, so progressive coverage is
+    untouched — emit the same pixels as **ARITHMETIC-coded (SOF9)**
+    streams (T.81 Annex D QM coder, interop-verified against
+    libjpeg-turbo): entropy coding is lossless, so every oracle formula
+    again survives unchanged while the query certifies the arithmetic
+    decode path across grayscale, 4:4:4 and 4:2:0."""
     if width % 8 or height % 8:
         raise ValueError("certification payloads need multiple-of-8 dims")
 
@@ -621,6 +627,7 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
 
         from picsure_dictionary_etl_spark.operators.jpeg_codec import (
             encode_jpeg,
+            encode_jpeg_arithmetic,
             encode_jpeg_progressive,
         )
 
@@ -630,9 +637,14 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
             for mid in pdf["id"]:
                 v = (int(mid) * 11 + bx_ * 7 + by_ * 13) % 256
                 y = np.kron(v, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
-                # ids ≡ 2,5,6,7 (mod 8): same pixels, progressive stream
-                enc = encode_jpeg_progressive if int(mid) % 8 in (2, 5, 6, 7) \
-                    else encode_jpeg
+                # ids ≡ 8,9,11 (mod 16): arithmetic; ≡ 2,5,6,7 (mod 8):
+                # progressive; the rest: plain baseline — same pixels
+                if int(mid) % 16 in (8, 9, 11):
+                    enc = encode_jpeg_arithmetic
+                elif int(mid) % 8 in (2, 5, 6, 7):
+                    enc = encode_jpeg_progressive
+                else:
+                    enc = encode_jpeg
                 if int(mid) % 2 == 0:
                     payload = enc([y])
                 elif int(mid) % 4 == 3:  # 4:2:0, constant non-neutral chroma

@@ -416,10 +416,11 @@ def test_jpeg_honest_seams_and_corrupt():
     from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
 
     sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    # arithmetic-coded (SOF9) stays a typed seam; progressive (SOF2)
-    # decodes for real since r6 and lossless (SOF3) since late r6
-    with pytest.raises(NotImplementedError, match="SOF9"):
-        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xC9, sof_payload))
+    # progressive ARITHMETIC (SOF10) stays a typed seam; sequential
+    # arithmetic (SOF9), progressive huffman (SOF2) and lossless (SOF3)
+    # all decode for real since r6
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xCA, sof_payload))
     # a lossless frame with subsampled components is ITS typed seam
     sof3_sub = bytes([8, 0, 8, 0, 16, 2, 1, 0x21, 0, 2, 0x11, 0])
     with pytest.raises(NotImplementedError, match="1x1 sampling"):
@@ -1332,3 +1333,171 @@ def test_mp4_track_sums_spark(spark):
         # reorder permutation (ctts + net-zero elst), so the sampled
         # STORED indices are the slots XOR 1 (1+3+4)
         assert row["fidx_sum"] == (8 if mid % 7 == 2 else 7)
+
+
+def test_jpeg_arithmetic_coding_real():
+    """From-scratch QM arithmetic entropy coding (T.81 Annexes D/F,
+    SOF9 + DAC): (1) constant-block + unit-quant payloads round-trip
+    BIT-exactly through encode_jpeg_arithmetic -> decode_jpeg (the same
+    integer-oracle contract as the huffman pipeline); (2) on ARBITRARY
+    content the arithmetic and huffman pipelines decode IDENTICALLY
+    (entropy coding is lossless - same quantized coefficients) across
+    grayscale / 4:4:4 / 4:2:0; (3) an EMBEDDED cross-implementation
+    fixture: libjpeg-turbo's arithmetic and huffman encodings of one
+    real 16x16 image must decode to the same pixels through OUR decoder
+    (pins the Qe state machine, byte stuffing, carry handling and the
+    DC/AC statistical models against an independent implementation);
+    (4) the arithmetic stream is smaller (the point of the mode)."""
+    import numpy as np
+
+    from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arithmetic,
+    )
+
+    # (1) exact integer roundtrip on constant blocks
+    v = (np.arange(12).reshape(3, 4) * 19 + 7) % 256
+    y = np.kron(v, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_arithmetic([y]))
+    assert np.array_equal(out[..., 0], y)
+
+    # (2) arbitrary content: arithmetic == huffman decode, both mine
+    rng = np.random.default_rng(5)
+    for planes, samp in [
+        ([rng.integers(0, 256, (41, 53), dtype=np.uint8)], None),
+        ([rng.integers(0, 256, (24, 40), dtype=np.uint8)
+          for _ in range(3)], None),
+        ([rng.integers(0, 256, (37, 61), dtype=np.uint8)
+          for _ in range(3)], (2, 2)),
+    ]:
+        a = encode_jpeg_arithmetic(planes, sampling=samp)
+        h = encode_jpeg(planes, sampling=samp)
+        assert np.array_equal(decode_jpeg(a), decode_jpeg(h)), samp
+        assert len(a) < len(h)  # (4) compression win
+
+    # (3) embedded libjpeg-turbo fixture pair (quality 85, 16x16 noise)
+    import tests.jpeg_arith_fixture as fx
+
+    mine_a = decode_jpeg(bytes.fromhex(fx.LIBJPEG_ARITH_HEX))
+    mine_h = decode_jpeg(bytes.fromhex(fx.LIBJPEG_HUFF_HEX))
+    assert np.array_equal(mine_a, mine_h)
+    assert mine_a.shape == (16, 16, 3)
+    # regression pin: the fixture's exact pixel digest
+    import hashlib
+
+    assert hashlib.md5(mine_a.tobytes()).hexdigest() == fx.PIXELS_MD5
+
+
+def test_jpeg_arithmetic_interop_libjpeg_live():
+    """LIVE two-way interop against libjpeg-turbo (skipped where the
+    toolchain is absent): libjpeg's arithmetic bytes decode through our
+    decoder to the same pixels as libjpeg's huffman bytes (incl. a
+    restart interval), and OUR arithmetic bytes decode through libjpeg
+    to the same pixels as our huffman bytes."""
+    import ctypes.util
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+    import pytest
+
+    if not shutil.which("gcc") or not ctypes.util.find_library("jpeg") \
+            or not os.path.exists("/usr/include/jpeglib.h"):
+        pytest.skip("gcc + libjpeg dev toolchain unavailable")
+
+    from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arithmetic,
+    )
+
+    src = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <jpeglib.h>
+static unsigned char *read_ppm(const char *fn, int *w, int *h) {
+  FILE *f = fopen(fn, "rb"); char m[3]; int mx;
+  if (!f || fscanf(f, "%2s %d %d %d", m, w, h, &mx) != 4) exit(2);
+  fgetc(f);
+  unsigned char *b = malloc((size_t)(*w) * (*h) * 3);
+  if (fread(b, 1, (size_t)(*w)*(*h)*3, f) != (size_t)(*w)*(*h)*3) exit(3);
+  fclose(f); return b;
+}
+int main(int argc, char **argv) {
+  if (!strcmp(argv[1], "enc")) {
+    int w, h; unsigned char *img = read_ppm(argv[2], &w, &h);
+    struct jpeg_compress_struct c; struct jpeg_error_mgr e;
+    c.err = jpeg_std_error(&e); jpeg_create_compress(&c);
+    FILE *o = fopen(argv[3], "wb"); jpeg_stdio_dest(&c, o);
+    c.image_width = w; c.image_height = h;
+    c.input_components = 3; c.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&c); jpeg_set_quality(&c, atoi(argv[4]), TRUE);
+    c.arith_code = atoi(argv[5]) ? TRUE : FALSE;
+    if (argc > 6) c.restart_interval = atoi(argv[6]);
+    jpeg_start_compress(&c, TRUE);
+    while (c.next_scanline < c.image_height) {
+      JSAMPROW r = img + (size_t)c.next_scanline * w * 3;
+      jpeg_write_scanlines(&c, &r, 1);
+    }
+    jpeg_finish_compress(&c); fclose(o);
+  } else {
+    struct jpeg_decompress_struct d; struct jpeg_error_mgr e;
+    d.err = jpeg_std_error(&e); jpeg_create_decompress(&d);
+    FILE *i = fopen(argv[2], "rb"); jpeg_stdio_src(&d, i);
+    jpeg_read_header(&d, TRUE); d.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&d);
+    FILE *o = fopen(argv[3], "wb");
+    fprintf(o, "P6\n%d %d\n255\n", d.output_width, d.output_height);
+    unsigned char *row = malloc((size_t)d.output_width * 3);
+    while (d.output_scanline < d.output_height) {
+      JSAMPROW r = row; jpeg_read_scanlines(&d, &r, 1);
+      fwrite(row, 1, (size_t)d.output_width * 3, o);
+    }
+    jpeg_finish_decompress(&d); fclose(o); fclose(i);
+  }
+  return 0;
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        cfile, tool = os.path.join(td, "t.c"), os.path.join(td, "t")
+        open(cfile, "w").write(src)
+        subprocess.run(["gcc", "-O2", "-o", tool, cfile, "-ljpeg"],
+                       check=True, capture_output=True)
+
+        def ppm(path, arr):
+            with open(path, "wb") as f:
+                f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+                f.write(arr.tobytes())
+
+        def read_ppm(path):
+            raw = open(path, "rb").read()
+            head, data = raw.split(b"\n", 3)[:3], raw.split(b"\n", 3)[3]
+            w, h = map(int, head[1].split())
+            return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+        ppm(f"{td}/in.ppm", img)
+        # libjpeg -> our decoder (restart interval 3 exercises RSTn)
+        subprocess.run([tool, "enc", f"{td}/in.ppm", f"{td}/a.jpg", "88",
+                        "1", "3"], check=True)
+        subprocess.run([tool, "enc", f"{td}/in.ppm", f"{td}/h.jpg", "88",
+                        "0", "3"], check=True)
+        assert np.array_equal(
+            decode_jpeg(open(f"{td}/a.jpg", "rb").read()),
+            decode_jpeg(open(f"{td}/h.jpg", "rb").read()))
+        # our encoder -> libjpeg
+        planes = [rng.integers(0, 256, (32, 56), dtype=np.uint8)
+                  for _ in range(3)]
+        open(f"{td}/ma.jpg", "wb").write(encode_jpeg_arithmetic(planes))
+        open(f"{td}/mh.jpg", "wb").write(encode_jpeg(planes))
+        subprocess.run([tool, "dec", f"{td}/ma.jpg", f"{td}/ma.ppm"],
+                       check=True)
+        subprocess.run([tool, "dec", f"{td}/mh.jpg", f"{td}/mh.ppm"],
+                       check=True)
+        assert np.array_equal(read_ppm(f"{td}/ma.ppm"),
+                              read_ppm(f"{td}/mh.ppm"))
