@@ -20,11 +20,14 @@ and **arithmetic coding** (SOF9 extended sequential, T.81 Annexes D/F:
 the full QM coder — Table D.3 state machine, byte stuffing, carry
 propagation over stacked 0xFF bytes, D.1.8 flush — plus the DC/AC
 statistical models with DAC conditioning and restart-marker resets;
-decoder AND encoder, verified two-way bit-identical against
-libjpeg-turbo, including an embedded cross-implementation fixture).
-Progressive ARITHMETIC (SOF10), 12-bit COLOR in the DCT modes, and
-hierarchical (SOF5-7/13-15) stay an honest ``NotImplementedError``
-seam — exactly like the PPM/WAV split in ``operators/multimodal.py``.
+decoder AND encoder — in BOTH DCT modes: extended sequential (SOF9)
+and **progressive (SOF10)** with the G.2 band models (DC first/refine,
+AC first with point transform, AC refinement with EOBx-keyed EOB
+decisions and fixed-bin signs); all verified two-way bit-identical
+against libjpeg-turbo, including embedded cross-implementation
+fixtures. 12-bit COLOR in the DCT modes and hierarchical
+(SOF5-7/13-15) stay an honest ``NotImplementedError`` seam — exactly
+like the PPM/WAV split in ``operators/multimodal.py``.
 
 Subsampled chroma upsamples by pixel replication (JFIF allows any
 upsampling filter; replication is the exact inverse of box-average
@@ -269,15 +272,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 f"decode_jpeg wraps 1- or 3-component lossless frames; "
                 f"got {arr.shape[2]} components (use decode_jpeg_lossless)"
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
                 f"only sequential (SOF0/SOF1), progressive (SOF2), "
-                f"lossless (SOF3) huffman and extended sequential "
-                f"arithmetic (SOF9) JPEG supported, got SOF{marker - 0xC0}"
+                f"lossless (SOF3) huffman and arithmetic sequential/"
+                f"progressive (SOF9/SOF10) JPEG supported, got "
+                f"SOF{marker - 0xC0}"
             )
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # huffman + arith
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec = seg[0]
             if prec not in (8, 12):
                 raise NotImplementedError(
@@ -348,15 +352,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
             if arith:
-                if ns != len(frame[2]) or scans_done:
-                    raise NotImplementedError(
-                        "arithmetic JPEG: single interleaved scan only "
-                        "(non-interleaved/multi-scan stays a seam)"
+                if not progressive:
+                    if ns != len(frame[2]) or scans_done:
+                        raise NotImplementedError(
+                            "sequential arithmetic JPEG: single "
+                            "interleaved scan only (non-interleaved "
+                            "multi-scan stays a seam)"
+                        )
+                    return _decode_scan_arith(
+                        b, i + 2 + seg_len, frame, qt, scan_tables, dri,
+                        cond_dc, cond_ac, prec,
                     )
-                return _decode_scan_arith(
-                    b, i + 2 + seg_len, frame, qt, scan_tables, dri,
-                    cond_dc, cond_ac, prec,
+                # progressive arithmetic (SOF10): buffered scans
+                if ss > 0 and ns > 1:
+                    raise ValueError("AC scans must be single-component")
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                i = _decode_scan_buffered_arith(
+                    b, i + 2 + seg_len, frame, scan_tables, scan_cids,
+                    ss, se, ah, al, dri, coefs, cond_dc, cond_ac,
                 )
+                scans_done += 1
+                continue
             if not progressive and ns == len(frame[2]) and scans_done == 0:
                 # fast path: single interleaved full-band sequential scan
                 return _decode_scan(
@@ -1587,19 +1604,21 @@ def _arith_decode_dc(dec, stats, ci, td, cond_dc):
     return stats.last_dc[ci]
 
 
-def _arith_decode_ac(dec, stats, ta, kx, coef):
-    """F.2.4.2 Decode_AC_coefficients into zigzag ``coef[1..63]``.
+def _arith_decode_ac(dec, stats, ta, kx, coef, ss=1, se=63, al=0):
+    """F.2.4.2 Decode_AC_coefficients into zigzag ``coef[ss..se]``.
     Context layout per Table F.5: 3 bins per index k (SE/S0/SP), the
-    fixed 0.5 bin for signs, X2 chains at 189 (k <= Kx) / 217."""
+    fixed 0.5 bin for signs, X2 chains at 189 (k <= Kx) / 217. The
+    ``ss/se/al`` band parameters serve the progressive AC-first scans
+    (G.2.1) — the sequential call is the ss=1, se=63, al=0 case."""
     st = stats.ac_area(ta)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
             return  # EOB
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic AC run")
             base = 3 * (k - 1)
         sign = dec.decode(stats.fixed, 0)
@@ -1621,7 +1640,7 @@ def _arith_decode_ac(dec, stats, ta, kx, coef):
             if dec.decode(st, pos):
                 v |= m
         v += 1
-        coef[k] = -v if sign else v
+        coef[k] = (-v if sign else v) << al
         k += 1
 
 
@@ -1717,23 +1736,29 @@ def _arith_encode_dc(enc, stats, ci, td, cond_dc, dc_val):
         enc.encode(st, k, 1 if (m & v) else 0)
 
 
-def _arith_encode_ac(enc, stats, ta, kx, zz):
+def _arith_encode_ac(enc, stats, ta, kx, zz, ss=1, se=63, al=0):
     """F.1.4.2/F.1.4.4.2 Encode_AC_Coefficients (Figure F.5) over one
-    zigzag block."""
+    zigzag block. ``ss/se/al`` serve the progressive AC-first scans:
+    the point transform truncates magnitudes toward zero (G.1.2.2),
+    exactly like the huffman twin ``_emit_ac_first``."""
     st = stats.ac_area(ta)
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+
+    def pt(x):  # AC point transform: |x| >> al with the sign restored
+        return -((-int(x)) >> al) if x < 0 else int(x) >> al
+
+    ke = se
+    while ke >= ss and pt(zz[ke]) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(st, base, 0)  # not EOB yet
-        while zz[k] == 0:
+        while pt(zz[k]) == 0:
             enc.encode(st, base + 1, 0)
             k += 1
             base = 3 * (k - 1)
         enc.encode(st, base + 1, 1)
-        v = int(zz[k])
+        v = pt(zz[k])
         if v > 0:
             enc.encode(stats.fixed, 0, 0)
             sign = 0
@@ -1764,7 +1789,7 @@ def _arith_encode_ac(enc, stats, ta, kx, zz):
             m >>= 1
             enc.encode(st, pos, 1 if (m & v) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
@@ -1802,5 +1827,229 @@ def encode_jpeg_arithmetic(planes, qtable=None, sampling=None) -> bytes:
                         _arith_encode_dc(enc, stats, ci, 0, (0, 1), zz[0])
                         _arith_encode_ac(enc, stats, 0, 5, zz)
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive arithmetic (SOF10) — T.81 G.2 with the Annex-F models
+# ---------------------------------------------------------------------------
+
+
+def _arith_band_decode(dec, stats, view, ss, se, ah, al, ci, td, ta,
+                       cond_dc, cond_ac):
+    """One data unit's contribution for one arithmetic scan band into
+    the zigzag coefficient ``view``: DC first (the sequential DC model
+    in the point-transformed domain, value << Al), DC refinement (one
+    fixed-bin decision appending bit Al), AC first (the sequential AC
+    model over Ss..Se, values << Al), AC refinement (G.2: EOB decisions
+    keyed past the previous stage's end index, correction bits at SP,
+    newly-significant signs on the fixed bin)."""
+    if ss == 0:
+        if ah == 0:  # DC first
+            val = _arith_decode_dc(dec, stats, ci, td,
+                                   cond_dc.get(td, (0, 1)))
+            view[0] = val << al
+        else:  # DC refinement: one bit at position al, fixed bin
+            if dec.decode(stats.fixed, 0):
+                view[0] = int(view[0]) | (1 << al)
+        if se == 0:
+            return
+        # sequential full-band arithmetic never routes here (fast path)
+    if ah == 0:  # AC first scan
+        _arith_decode_ac(dec, stats, ta, cond_ac.get(ta, 5), view,
+                         ss=max(ss, 1), se=se, al=al)
+        return
+    # AC refinement scan
+    st = stats.ac_area(ta)
+    p1, m1 = 1 << al, -(1 << al)
+    kex = se
+    while kex > 0 and view[kex] == 0:
+        kex -= 1  # previous-stage end-of-block index
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, base):
+                return  # EOB
+        while True:
+            v = int(view[k])
+            if v:
+                if dec.decode(st, base + 2):  # correction bit
+                    view[k] = v + (m1 if v < 0 else p1)
+                break
+            if dec.decode(st, base + 1):  # newly significant
+                view[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic AC refinement run")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _decode_scan_buffered_arith(b, pos, frame, scan_tables, scan_cids,
+                                ss, se, ah, al, dri, coefs, cond_dc,
+                                cond_ac):
+    """One arithmetic scan of a progressive (SOF10) file into the
+    coefficient buffers — the arithmetic twin of
+    :func:`_decode_scan_buffered`. Statistics are per-scan (fresh
+    areas each SOS, T.81 F.1.4.4); an RSTn resets the QM registers and
+    every area. Returns the offset of the next marker."""
+    h, w, comps = frame
+    cid_to_ci = {cid: ci for ci, (cid, _, _) in enumerate(comps)}
+    dec = _ArithDecoder(b, pos)
+    stats = _ArithStats(len(comps))
+    if len(scan_cids) > 1:  # interleaved DC scan
+        hmax, vmax, mcw, mch = _frame_geometry(frame)
+        mcu = 0
+        for my in range(mch):
+            for mx in range(mcw):
+                if dri and mcu and mcu % dri == 0:
+                    dec.restart()
+                    stats.reset()
+                for cid in scan_cids:
+                    ci = cid_to_ci[cid]
+                    _, (hs, vs), _ = comps[ci]
+                    td, ta = scan_tables[cid]
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            _arith_band_decode(
+                                dec, stats,
+                                coefs[ci][my * vs + vy, mx * hs + vx],
+                                ss, se, ah, al, ci, td, ta,
+                                cond_dc, cond_ac,
+                            )
+                mcu += 1
+    else:
+        cid = scan_cids[0]
+        ci = cid_to_ci[cid]
+        td, ta = scan_tables[cid]
+        bw, bh = _comp_blocks(frame, ci)
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and n and n % dri == 0:
+                    dec.restart()
+                    stats.reset()
+                _arith_band_decode(
+                    dec, stats, coefs[ci][by, bx], ss, se, ah, al, ci,
+                    td, ta, cond_dc, cond_ac,
+                )
+                n += 1
+    # the QM decoder may finish without touching the trailing bytes of
+    # its segment (spacer/flush bytes): scan forward to the next marker
+    j = max(dec.i, pos)
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] != 0x00 and not (
+            0xD0 <= b[j + 1] <= 0xD7
+        ):
+            return j
+        j += 1
+    return j
+
+
+def _arith_emit_ac_refine(enc, stats, ta, zz, ss, se, al):
+    """Encoder twin of the AC-refinement band (G.2): EOB index from
+    this scan's significance, EOBx from the previous stage's, EOB
+    decisions only past EOBx, correction bits at SP, newly-significant
+    signs on the fixed bin."""
+    st = stats.ac_area(ta)
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1  # end of block INCLUDING this scan's bit
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1  # end of block of the PREVIOUS stage
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            t = abs(int(zz[k])) >> al
+            if t:
+                if t >> 1:  # previously nonzero: correction bit
+                    enc.encode(st, base + 2, t & 1)
+                else:  # newly significant this scan
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(stats.fixed, 0, 1 if zz[k] < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_progressive_arithmetic(planes, qtable=None,
+                                       sampling=None) -> bytes:
+    """Write a progressive ARITHMETIC (SOF10 + DAC) JFIF with the same
+    scan script as :func:`encode_jpeg_progressive` — interleaved DC
+    first (Al=1), per-component AC 1-63 first (Al=1), interleaved DC
+    refinement, per-component AC refinement — each scan QM-coded with
+    fresh statistics. Entropy coding is lossless, so the huffman
+    progressive writer's certification contract carries over
+    unchanged."""
+    h, w, n, hs, vs, q, coefs, factors, mcw, mch = _compute_coefs(
+        planes, qtable, sampling
+    )
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci in range(n):
+        hv = (hs << 4) | vs if ci == 0 else 0x11
+        sof += bytes([ci + 1, hv, 0])
+    out += _seg(0xCA, sof)  # SOF10: progressive, arithmetic
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    comp_ids = list(range(1, n + 1))
+
+    def mcu_blocks():
+        for my in range(mch):
+            for mx in range(mcw):
+                for ci in range(n):
+                    fh, fv = factors[ci]
+                    for vy in range(fv):
+                        for vx in range(fh):
+                            yield ci, coefs[ci][my * fv + vy, mx * fh + vx]
+
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos(comp_ids, 0, 0, 0, 1)
+    enc = _ArithEncoder()
+    stats = _ArithStats(n)
+    for ci, zz in mcu_blocks():
+        _arith_encode_dc(enc, stats, ci, 0, (0, 1), int(zz[0]) >> 1)
+    out += enc.flush()
+    # per-component AC first, band 1-63, Al=1
+    for ci in range(n):
+        bw, bh = _writer_comp_blocks(w, h, hs, vs, factors, ci)
+        out += _sos([ci + 1], 1, 63, 0, 1)
+        enc = _ArithEncoder()
+        stats = _ArithStats(n)
+        for by in range(bh):
+            for bx in range(bw):
+                _arith_encode_ac(enc, stats, 0, 5, coefs[ci][by, bx],
+                                 ss=1, se=63, al=1)
+        out += enc.flush()
+    # DC refinement: one fixed-bin decision per block, interleaved
+    out += _sos(comp_ids, 0, 0, 1, 0)
+    enc = _ArithEncoder()
+    stats = _ArithStats(n)
+    for ci, zz in mcu_blocks():
+        enc.encode(stats.fixed, 0, int(zz[0]) & 1)
+    out += enc.flush()
+    # per-component AC refinement, band 1-63, Ah=1 -> Al=0
+    for ci in range(n):
+        bw, bh = _writer_comp_blocks(w, h, hs, vs, factors, ci)
+        out += _sos([ci + 1], 1, 63, 1, 0)
+        enc = _ArithEncoder()
+        stats = _ArithStats(n)
+        for by in range(bh):
+            for bx in range(bw):
+                _arith_emit_ac_refine(enc, stats, 0, coefs[ci][by, bx],
+                                      1, 63, 0)
+        out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -18,10 +18,12 @@ box tree, expands the stts/stsc/stsz/stco sample tables with
 vectorized numpy, and decodes ``'raw '`` RGB video + ``'twos'``/
 ``'sowt'`` PCM audio tracks (see :func:`synthetic_mp4_media` /
 :func:`mp4_track_sums`); entropy-coded video codecs inside MP4
-(avc1/hev1) and fragmented files stay typed seams. Codecs that
-genuinely need external libraries (arithmetic-coded/12-bit/
-hierarchical JPEG, H.264 frame decode) remain honestly stubbed:
-``_fake_decode``
+(avc1/hev1) stay typed seams (fragmented MP4 demuxes for real).
+Arithmetic-coded JPEG (SOF9 sequential AND SOF10 progressive — the
+full T.81 QM coder, two-way bit-identical vs libjpeg-turbo) and
+12-bit grayscale are REAL too; codecs that genuinely need external
+libraries (hierarchical JPEG, H.264 frame decode) remain honestly
+stubbed: ``_fake_decode``
 produces a deterministic byte-statistics vector so the Spark-side
 plumbing — schema, batch shape, partitioning — stays fully testable,
 and production swaps in PIL/ffmpeg at the same seam.
@@ -616,9 +618,10 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
     previously plain-baseline classes, so progressive coverage is
     untouched — emit the same pixels as **ARITHMETIC-coded (SOF9)**
     streams (T.81 Annex D QM coder, interop-verified against
-    libjpeg-turbo): entropy coding is lossless, so every oracle formula
-    again survives unchanged while the query certifies the arithmetic
-    decode path across grayscale, 4:4:4 and 4:2:0."""
+    libjpeg-turbo), and ids ≡ 13 (mod 16) as **progressive ARITHMETIC
+    (SOF10)** streams: entropy coding is lossless, so every oracle
+    formula again survives unchanged while the query certifies the
+    arithmetic decode paths across grayscale, 4:4:4 and 4:2:0."""
     if width % 8 or height % 8:
         raise ValueError("certification payloads need multiple-of-8 dims")
 
@@ -629,6 +632,7 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
             encode_jpeg,
             encode_jpeg_arithmetic,
             encode_jpeg_progressive,
+            encode_jpeg_progressive_arithmetic,
         )
 
         for pdf in batches:
@@ -641,6 +645,8 @@ def synthetic_jpeg_media(spark, n: int, width: int = 32, height: int = 24) -> Da
                 # progressive; the rest: plain baseline — same pixels
                 if int(mid) % 16 in (8, 9, 11):
                     enc = encode_jpeg_arithmetic
+                elif int(mid) % 16 == 13:
+                    enc = encode_jpeg_progressive_arithmetic
                 elif int(mid) % 8 in (2, 5, 6, 7):
                     enc = encode_jpeg_progressive
                 else:

@@ -416,11 +416,11 @@ def test_jpeg_honest_seams_and_corrupt():
     from picsure_dictionary_etl_spark.operators import jpeg_codec as jc
 
     sof_payload = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    # progressive ARITHMETIC (SOF10) stays a typed seam; sequential
-    # arithmetic (SOF9), progressive huffman (SOF2) and lossless (SOF3)
-    # all decode for real since r6
-    with pytest.raises(NotImplementedError, match="SOF10"):
-        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xCA, sof_payload))
+    # arithmetic LOSSLESS (SOF11) + hierarchical stay typed seams;
+    # sequential/progressive huffman AND arithmetic (SOF0/1/2/9/10) and
+    # huffman lossless (SOF3) all decode for real since r6
+    with pytest.raises(NotImplementedError, match="SOF11"):
+        jc.decode_jpeg(b"\xff\xd8" + jc._seg(0xCB, sof_payload))
     # a lossless frame with subsampled components is ITS typed seam
     sof3_sub = bytes([8, 0, 8, 0, 16, 2, 1, 0x21, 0, 2, 0x11, 0])
     with pytest.raises(NotImplementedError, match="1x1 sampling"):
@@ -1376,17 +1376,38 @@ def test_jpeg_arithmetic_coding_real():
         assert np.array_equal(decode_jpeg(a), decode_jpeg(h)), samp
         assert len(a) < len(h)  # (4) compression win
 
-    # (3) embedded libjpeg-turbo fixture pair (quality 85, 16x16 noise)
+    # (2b) PROGRESSIVE arithmetic (SOF10): my 4-scan writer decodes
+    # identically to both huffman pipelines on arbitrary content
+    from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_arithmetic,
+    )
+
+    planes = [rng.integers(0, 256, (33, 41), dtype=np.uint8)
+              for _ in range(3)]
+    pa = encode_jpeg_progressive_arithmetic(planes, sampling=(2, 2))
+    assert np.array_equal(
+        decode_jpeg(pa),
+        decode_jpeg(encode_jpeg_progressive(planes, sampling=(2, 2))))
+    assert np.array_equal(
+        decode_jpeg(pa), decode_jpeg(encode_jpeg(planes, sampling=(2, 2))))
+
+    # (3) embedded libjpeg-turbo fixture pairs (quality 85, 16x16 noise):
+    # sequential (SOF9) and progressive (SOF10, 10-scan simple
+    # progression) each against their huffman twins
     import tests.jpeg_arith_fixture as fx
 
     mine_a = decode_jpeg(bytes.fromhex(fx.LIBJPEG_ARITH_HEX))
     mine_h = decode_jpeg(bytes.fromhex(fx.LIBJPEG_HUFF_HEX))
     assert np.array_equal(mine_a, mine_h)
     assert mine_a.shape == (16, 16, 3)
-    # regression pin: the fixture's exact pixel digest
     import hashlib
 
     assert hashlib.md5(mine_a.tobytes()).hexdigest() == fx.PIXELS_MD5
+    prog_a = decode_jpeg(bytes.fromhex(fx.LIBJPEG_PROG_ARITH_HEX))
+    prog_h = decode_jpeg(bytes.fromhex(fx.LIBJPEG_PROG_HUFF_HEX))
+    assert np.array_equal(prog_a, prog_h)
+    assert hashlib.md5(prog_a.tobytes()).hexdigest() == fx.PROG_PIXELS_MD5
 
 
 def test_jpeg_arithmetic_interop_libjpeg_live():
@@ -1438,6 +1459,7 @@ int main(int argc, char **argv) {
     jpeg_set_defaults(&c); jpeg_set_quality(&c, atoi(argv[4]), TRUE);
     c.arith_code = atoi(argv[5]) ? TRUE : FALSE;
     if (argc > 6) c.restart_interval = atoi(argv[6]);
+    if (argc > 7 && atoi(argv[7])) jpeg_simple_progression(&c);
     jpeg_start_compress(&c, TRUE);
     while (c.next_scanline < c.image_height) {
       JSAMPROW r = img + (size_t)c.next_scanline * w * 3;
@@ -1490,14 +1512,31 @@ int main(int argc, char **argv) {
         assert np.array_equal(
             decode_jpeg(open(f"{td}/a.jpg", "rb").read()),
             decode_jpeg(open(f"{td}/h.jpg", "rb").read()))
+        # progressive arithmetic (SOF10, libjpeg 10-scan script)
+        subprocess.run([tool, "enc", f"{td}/in.ppm", f"{td}/pa.jpg",
+                        "88", "1", "0", "1"], check=True)
+        assert b"\xff\xca" in open(f"{td}/pa.jpg", "rb").read()
+        assert np.array_equal(
+            decode_jpeg(open(f"{td}/pa.jpg", "rb").read()),
+            decode_jpeg(open(f"{td}/h.jpg", "rb").read()))
         # our encoder -> libjpeg
         planes = [rng.integers(0, 256, (32, 56), dtype=np.uint8)
                   for _ in range(3)]
+        from picsure_dictionary_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_progressive_arithmetic,
+        )
+
         open(f"{td}/ma.jpg", "wb").write(encode_jpeg_arithmetic(planes))
+        open(f"{td}/mp.jpg", "wb").write(
+            encode_jpeg_progressive_arithmetic(planes))
         open(f"{td}/mh.jpg", "wb").write(encode_jpeg(planes))
         subprocess.run([tool, "dec", f"{td}/ma.jpg", f"{td}/ma.ppm"],
                        check=True)
         subprocess.run([tool, "dec", f"{td}/mh.jpg", f"{td}/mh.ppm"],
                        check=True)
+        subprocess.run([tool, "dec", f"{td}/mp.jpg", f"{td}/mp.ppm"],
+                       check=True)
         assert np.array_equal(read_ppm(f"{td}/ma.ppm"),
+                              read_ppm(f"{td}/mh.ppm"))
+        assert np.array_equal(read_ppm(f"{td}/mp.ppm"),
                               read_ppm(f"{td}/mh.ppm"))
