@@ -590,6 +590,81 @@ def q_cdf_batch_span(spark, sf_dir):
     )
 
 
+def q_lake_sink_append(spark, sf_dir):
+    """The native lake SINK under the driver's value-hash gate: apply
+    the derived WAL via ``df.write.format("lake").mode("append")`` in
+    two batches split at the median LSN (the second exercises the
+    executor watermark guard against the first's committed watermark),
+    then resolve merge-on-read — the appended raw rows must fold to the
+    SAME final state as the plain LWW reduce (deletes dropped), the
+    DuckDB oracle. Bucket placement runs the JVM fast path
+    (with_bucket). Certifies: arrow executor write, per-bucket file
+    layout, manifest commit, batch-id/watermark bookkeeping, read-time
+    LWW over sink-written deltas."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from picsure_dictionary_etl_spark.lake.merge import resolve_live
+    from picsure_dictionary_etl_spark.lake.table import LakeTable
+    from picsure_dictionary_etl_spark.streaming.lake_sink import (
+        LakeTableSinkDataSource,
+        with_bucket,
+    )
+
+    spark.dataSource.register(LakeTableSinkDataSource)
+    cdc = _events_as_cdc(spark, sf_dir).filter(F.col("turn_idx").isNotNull())
+    cut = cdc.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0]
+    src = cdc.select(
+        "user_id", "turn_idx", "event_type", "value",
+        F.col("op").alias("_op"), F.col("lsn").alias("_lsn"),
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("_op", T.StringType(), False),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    root = tempfile.mkdtemp(prefix="lake_sink_q_") + "/t"
+    LakeTable.create(spark, root, schema=schema,
+                     key_cols=["user_id", "turn_idx"], bucket_count=8)
+    for lo_hi in (F.col("_lsn") <= cut, F.col("_lsn") > cut):
+        (with_bucket(src.filter(lo_hi), root)
+         .write.format("lake").mode("append").option("path", root).save())
+    t = LakeTable.load(spark, root)
+    live = resolve_live(t.read(), ["user_id", "turn_idx"],
+                        ["event_type", "value"])
+    return live.select(
+        "user_id", "turn_idx",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+SQL_LAKE_SINK_APPEND = """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+), w AS (
+  SELECT user_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(event_type, lsn) AS last_event_type,
+         arg_max(value, lsn) AS last_value,
+         max(lsn) AS last_lsn
+  FROM ev WHERE turn_idx IS NOT NULL
+  GROUP BY user_id, turn_idx
+)
+SELECT user_id, turn_idx, last_event_type, last_value, last_lsn
+FROM w WHERE op <> 'D'
+"""
+
+
 SQL_CDF_BATCH_SPAN = """
 WITH ev AS (
   SELECT event_id AS lsn, user_id,
@@ -2158,19 +2233,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks a 50-entry
-    # prefix of this dict (60 entries total). Rotation policy (r6,
+    # prefix of this dict (61 entries total). Rotation policy (r6,
     # same rule as r5): the queries whose last driver row is OLDEST
     # lead the prefix — the six trivials whose evidence is from r4
     # (token_counts, sorted_export, group_size_max, depth_layer_counts,
     # canonical_json_hash, doc_fingerprint) re-enter slots 0-5 — the
     # new multimodal_real_decode_video (MP4), cdf_fold_materialize,
-    # lake_time_travel and cdf_batch_span (no evidence yet) join the
-    # prefix, and the tail
-    # (indices 50-59) holds ten simple queries freshly certified in r5
-    # (window_latest_k, minhash_lsh_candidates, distinct_sorted,
+    # lake_time_travel, cdf_batch_span and lake_sink_append (no
+    # evidence yet) join the prefix, and the tail
+    # (indices 50-60) holds eleven simple queries freshly certified in
+    # r5 (window_latest_k, minhash_lsh_candidates, distinct_sorted,
     # count_per_key, eav_pivot, eav_unpivot, first_wins_pick,
-    # study_filter, windowed_event_counts, key_filtered_join), so every
-    # entry's driver
+    # study_filter, windowed_event_counts, key_filtered_join,
+    # regex_extract_families), so every entry's driver
     # evidence stays <=2 rounds old and the bounded prefix never ships
     # an unverified operator.
     return {
@@ -2200,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_fold_materialize": q_cdf_fold_materialize,
         "lake_time_travel": q_lake_time_travel,
         "cdf_batch_span": q_cdf_batch_span,
+        "lake_sink_append": q_lake_sink_append,
         "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
         "flatten_categorical": q_flatten_categorical,
         "flatten_continuous": q_flatten_continuous,
@@ -2211,7 +2287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_rollup": q_hierarchical_rollup,
         "change_detection_hash": q_change_detection_hash,
         "multiway_join_revenue": q_multiway_join_revenue,
-        "regex_extract_families": q_regex_extract_families,
         "parent_backfill": q_parent_backfill,
         "index_aligned_pivot": q_index_aligned_pivot,
         "dedup_exact": q_dedup_exact,
@@ -2240,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "study_filter": q_study_filter,
         "windowed_event_counts": q_windowed_event_counts,
         "key_filtered_join": q_key_filtered_join,
+        "regex_extract_families": q_regex_extract_families,
     }
 
 
@@ -2260,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "cdf_fold_materialize": SQL_CDF_FOLD_MATERIALIZE,
         "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
         "cdf_batch_span": SQL_CDF_BATCH_SPAN,
+        "lake_sink_append": SQL_LAKE_SINK_APPEND,
         "embedding_near_dups_multiprobe": SQL_EMBEDDING_NEAR_DUPS_MULTIPROBE,
         "flatten_categorical": SQL_FLATTEN_CATEGORICAL,
         "flatten_continuous": SQL_FLATTEN_CONTINUOUS,
