@@ -153,23 +153,28 @@ class Snapshot:
 def to_micros(ts: Any) -> int:
     """Normalize a user-supplied timestamp to epoch micros UTC.
 
-    Accepts an int (already micros), a float (epoch SECONDS, matching
-    ``time.time()``), a ``datetime`` (naive = UTC, like Spark session
-    time in this engine's tests), or an ISO-8601 string."""
+    Accepts an int/integer string (epoch MICROS when >= 10^12, epoch
+    SECONDS below — 10^12 us is 1973-01-11 and 10^12 s is the year
+    33658, so real timestamps are unambiguous; the split stops the
+    silent-wrong case where ``time.time()``-style integer seconds were
+    read as 1970-era micros and a stream quietly replayed the full
+    table), a float (epoch SECONDS, matching ``time.time()``), a
+    ``datetime`` (naive = UTC, like Spark session time in this
+    engine's tests), or an ISO-8601 string."""
     import datetime as _dt
 
     if isinstance(ts, bool):
         raise TypeError(f"not a timestamp: {ts!r}")
     if isinstance(ts, int):
-        return ts
+        return ts if abs(ts) >= 10**12 else ts * 1_000_000
     if isinstance(ts, float):
         return int(ts * 1_000_000)
     if isinstance(ts, str):
         s = ts.strip()
-        # datasource options arrive as strings: digit strings are epoch
-        # micros, decimal strings epoch seconds, the rest ISO-8601
+        # datasource options arrive as strings: same integer rule,
+        # decimal strings epoch seconds, the rest ISO-8601
         if s.isdigit() or (s.startswith("-") and s[1:].isdigit()):
-            return int(s)
+            return to_micros(int(s))
         try:
             return int(float(s) * 1_000_000)
         except ValueError:
@@ -384,36 +389,35 @@ class LakeTable:
         :class:`TimeTravelError` when ``ts`` predates the oldest
         retained stamped snapshot (vacuumed or pre-upgrade history)."""
         ts_us = to_micros(ts)
-        meta = os.path.join(self.root, META_DIR)
         current = self.current_version()
-        stamped: list[tuple[int, int]] = []  # (committed_at, version)
-        for fn in self.io.list(meta):
-            if not (fn.startswith("snap-") and fn.endswith(".json")):
-                continue
+        # newest-first walk: commit stamps are strictly monotone in
+        # version, so the FIRST version stamped at-or-before the cut is
+        # the answer — O(distance from head) manifest reads, not a scan
+        # over every retained manifest (review finding)
+        oldest_seen = None
+        v = current
+        while v >= 0:
             try:
-                s = Snapshot.from_json(self.io.read_text(os.path.join(meta, fn)))
+                s = self.snapshot(v)
             except Exception:
-                continue  # torn foreign claim
-            if s.version > current or s.committed_at is None:
-                continue  # unswapped claim / pre-upgrade manifest
-            stamped.append((s.committed_at, s.version))
-        stamped.sort()
-        if not stamped or ts_us < stamped[0][0]:
-            oldest = (
-                f"oldest retained commit is v{stamped[0][1]} at "
-                f"{stamped[0][0]} us"
-                if stamped
-                else "no retained snapshot carries a commit timestamp"
-            )
-            raise TimeTravelError(
-                f"{self.root}: no snapshot committed at or before "
-                f"{ts_us} us ({oldest}); raise vacuum retention or read "
-                f"by explicit version"
-            )
-        import bisect
-
-        i = bisect.bisect_right(stamped, (ts_us, current + 1)) - 1
-        return stamped[i][1]
+                break  # vacuumed below here
+            if s.committed_at is None:
+                break  # pre-upgrade manifest: unstamped history below
+            if s.committed_at <= ts_us:
+                return v
+            oldest_seen = (s.committed_at, v)
+            v -= 1
+        oldest = (
+            f"oldest retained stamped commit is v{oldest_seen[1]} at "
+            f"{oldest_seen[0]} us"
+            if oldest_seen
+            else "no retained snapshot carries a commit timestamp"
+        )
+        raise TimeTravelError(
+            f"{self.root}: no snapshot committed at or before "
+            f"{ts_us} us ({oldest}); raise vacuum retention or read "
+            f"by explicit version"
+        )
 
     def read_timestamp(self, ts: Any) -> DataFrame:
         """Time travel by wall-clock: the table as of the last commit

@@ -1378,14 +1378,24 @@ class _ArithDecoder:
         return b
 
     def restart(self) -> None:
-        """Consume an expected RSTn and re-init the registers (the
-        stats reset is the caller's job — it owns the arrays)."""
-        if (
-            self.i + 1 < len(self.d)
-            and self.d[self.i] == 0xFF
-            and 0xD0 <= self.d[self.i + 1] <= 0xD7
-        ):
-            self.i += 2
+        """Skip to and consume the expected RSTn, then re-init the
+        registers (the stats reset is the caller's job — it owns the
+        arrays). The QM decoder legitimately finishes an interval
+        WITHOUT consuming all of the encoder's D.1.8 flush bytes
+        (libjpeg truncates trailing zeros, a spec-literal encoder may
+        not), so scan FORWARD past any unconsumed entropy/pad bytes to
+        the next marker — checking only the current offset silently
+        decodes the next interval misaligned (review finding,
+        reproduced with zero-padded restart streams)."""
+        j = self.i
+        while j + 1 < len(self.d):
+            if self.d[j] == 0xFF and self.d[j + 1] != 0x00:
+                break  # a real marker (0xFF00 is stuffing, skip it)
+            j += 1
+        if j + 1 < len(self.d) and 0xD0 <= self.d[j + 1] <= 0xD7:
+            self.i = j + 2  # consume the RSTn
+        else:
+            self.i = j  # no RSTn (truncated/last interval): stay put
         self.c = 0
         self.a = 0
         self.ct = -16

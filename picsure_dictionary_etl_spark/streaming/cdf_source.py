@@ -1404,9 +1404,23 @@ class _CdfBatchReader(DataSourceReader):
             _load_snapshot(self.root, self.start)
 
     def partitions(self):
-        return _span_tasks(
+        tasks = _span_tasks(
             self.root, self.keys, self.payload, self.dtypes, self.start, self.end
         )
+        if not tasks:
+            # a change-free span (or an empty table's bootstrap) is a
+            # legal EMPTY result — but the Spark 4 python-datasource
+            # runner substitutes [None] for an empty partitions() list
+            # and still calls read(None). Plan one no-op task (empty
+            # file lists diff to zero rows) so the query returns an
+            # empty DataFrame instead of crashing.
+            tasks = [
+                _BucketTask(
+                    root=self.root, keys=self.keys, payload=self.payload,
+                    dtypes=self.dtypes, old_files=[], new_files=[],
+                )
+            ]
+        return tasks
 
     def read(self, partition: _BucketTask):
         yield from _read_span_partition(partition, self.out_schema)

@@ -92,6 +92,16 @@ def _is_uri(root: str) -> bool:
     return "://" in root or root.startswith("file:")
 
 
+def _posix_root(root: str) -> str:
+    """Strip a ``file:`` scheme (a file: URI IS a POSIX path) — shared
+    by the writer and :func:`with_bucket` so both accept the same root
+    strings."""
+    if root.startswith("file:"):
+        p = root[5:]
+        root = "/" + p.lstrip("/") if p.startswith("/") else p
+    return root
+
+
 def _read_meta_text(root: str, *rel: str) -> str:
     from picsure_dictionary_etl_spark.lake.metadata_io import PosixMetadataIO
 
@@ -123,11 +133,7 @@ class _LakeSinkWriter(DataSourceStreamArrowWriter):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("lake sink requires .option('path', <table_root>)")
-        if self.root.startswith("file:"):
-            # a file: URI IS a POSIX path — strip the scheme (and the
-            # optional //) and take the fast path like the source does
-            p = self.root[5:]
-            self.root = "/" + p.lstrip("/") if p.startswith("/") else p
+        self.root = _posix_root(self.root)
         if _is_uri(self.root):
             raise NotImplementedError(
                 "lake sink v1 commits through PosixMetadataIO (datasource "
@@ -269,6 +275,18 @@ class _LakeSinkWriter(DataSourceStreamArrowWriter):
 
     # ---------- driver side ----------
 
+    @staticmethod
+    def _pending_claim(t, version):
+        """The unswapped manifest claim at ``version``, if any (a
+        crashed commit's leftover); None when absent or torn."""
+        path = os.path.join(t.root, META_DIR, f"snap-{version:08d}.json")
+        try:
+            from picsure_dictionary_etl_spark.lake.table import Snapshot
+
+            return Snapshot.from_json(t.io.read_text(path))
+        except Exception:
+            return None
+
     def _commit(self, messages, batch_id: str, epoch=None) -> None:
         appends: dict[str, list[str]] = {}
         sizes: dict[str, int] = {}
@@ -293,6 +311,23 @@ class _LakeSinkWriter(DataSourceStreamArrowWriter):
         prev = t.current()
         if batch_id in prev.properties.get("applied_batches", []):
             return  # same-run commit retry: committed no-op
+        # Crashed-claim takeover (the engine rule: same-batch claim =>
+        # resume): a driver killed between create_exclusive(snap-vN+1)
+        # and the pointer swap leaves a claim. A RESTARTED query gets a
+        # fresh random sinkid, so its batch id differs and the claim
+        # compare would raise ConcurrentCommitError forever. If the
+        # pending claim is a SINK commit for this same EPOCH of this
+        # same table, adopt ITS batch id — the commit then matches the
+        # claim's intent and takes it over; the crashed attempt's data
+        # files (attempt-unique) become vacuum-able orphans.
+        if epoch is not None:
+            claim = self._pending_claim(t, prev.version + 1)
+            if (
+                claim is not None
+                and claim.lineage.get("stream_sink")
+                and claim.lineage.get("epoch") == epoch
+            ):
+                batch_id = claim.lineage.get("batch_id", batch_id)
         props = t.exactly_once_props(
             batch_id,
             max_lsn if max_lsn is not None else -1,
@@ -338,7 +373,12 @@ class _LakeBatchWriter(DataSourceArrowWriter):
         return self._w.write(iterator)
 
     def commit(self, messages):
-        self._w._commit(messages, f"sink-{self._w.sinkid}-batch")
+        # attempt-unique id, NEVER the (possibly pinned) sinkid: a
+        # batch write has no replay concept, and a constant id would
+        # make a SECOND append under the same sinkid a silent
+        # committed no-op that drops its rows (review finding). The
+        # watermark guard still provides redelivery protection.
+        self._w._commit(messages, f"sink-{uuid.uuid4().hex[:8]}-batch")
 
     def abort(self, messages):
         self._w.abort(messages, -1)
@@ -375,7 +415,7 @@ def with_bucket(df, root: str, repartition: bool = False):
 
     from picsure_dictionary_etl_spark.lake.table import bucket_expr
 
-    snap = LakeTable(None, os.path.abspath(root)).current()
+    snap = LakeTable(None, os.path.abspath(_posix_root(root))).current()
     out = df.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_by, snap.bucket_count)
     )

@@ -186,3 +186,16 @@ def test_batch_read_on_file_uri_root(spark, tmp_path):
     snap = _read(spark, uri, initialsnapshot="true")
     assert snap.count() == 2 and \
         {r["_change"] for r in snap.select("_change").collect()} == {"I"}
+
+
+def test_batch_read_empty_span_returns_empty_dataframe(spark, tmp_path):
+    """A change-free span — the natural 'any new changes since v?' poll
+    — must return an EMPTY DataFrame, not crash: the Spark 4 python
+    datasource runner substitutes [None] for an empty partitions() list
+    and still calls read() (review finding, reproduced), so the planner
+    emits one no-op task instead."""
+    spark.dataSource.register(LakeChangeFeedDataSource)
+    root, t = _table(spark, tmp_path)
+    cur = t.current_version()
+    assert _read(spark, root, startversion=cur).count() == 0
+    assert _read(spark, root, startversion=cur, endversion=cur).count() == 0

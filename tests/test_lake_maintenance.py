@@ -729,3 +729,17 @@ def test_optimize_compacts_sink_style_delta_buildup(spark, tmp_path):
     assert resolve_live(t.read(), keys, payload).count() == 0
     assert snap2.files == {}  # all buckets resolved to zero live rows
     assert table_changes(t, v2, snap2.version).count() == 0
+
+
+def test_to_micros_integer_seconds_vs_micros(spark):
+    """Integer timestamps below 10^12 are epoch SECONDS (the
+    time.time() convention), at-or-above are MICROS — the silent-wrong
+    case where integer seconds parsed as 1970-era micros (and a stream
+    quietly replayed the whole table) is gone (review finding)."""
+    from picsure_dictionary_etl_spark.lake.table import to_micros
+
+    assert to_micros(1_755_400_000) == 1_755_400_000 * 1_000_000
+    assert to_micros("1755400000") == 1_755_400_000 * 1_000_000
+    assert to_micros(1_755_400_000_000_000) == 1_755_400_000_000_000
+    assert to_micros("1755400000000000") == 1_755_400_000_000_000
+    assert to_micros(1_755_400_000.5) == 1_755_400_000_500_000

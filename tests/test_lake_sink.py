@@ -210,3 +210,79 @@ def test_batch_writer_and_typed_errors(spark, tmp_path):
     assert "_pu" in [f.name for f in t.current().schema.fields]
     with pytest.raises(NotImplementedError, match="field-wise"):
         _LakeSinkWriter({"path": root}, sch, False)
+
+
+def test_sink_restart_takes_over_crashed_commit_claim(spark, tmp_path,
+                                                      monkeypatch):
+    """A driver killed between create_exclusive(claim) and the pointer
+    swap leaves an unswapped manifest claim. A RESTARTED query gets a
+    fresh random sinkid — its batch id differs, so without claim
+    adoption every retry would die on ConcurrentCommitError forever
+    (review finding). The commit must recognize the pending claim as a
+    SINK commit for the same epoch, adopt its batch id, and take it
+    over; the crashed attempt's files publish, the retry's become
+    vacuum-able orphans."""
+    import pyarrow as pa
+
+    from picsure_dictionary_etl_spark.lake.metadata_io import PosixMetadataIO
+    from picsure_dictionary_etl_spark.streaming.lake_sink import (
+        _LakeSinkWriter,
+    )
+
+    root = _mk_table(spark, tmp_path)
+    sch = change_event_schema()
+    rows = _ev(spark, [
+        (1, "I", "c1", 0, "user", "a", None, TS),
+        (2, "I", "c2", 0, "user", "b", None, TS),
+    ])
+    batches = rows.toArrow().to_batches()
+
+    # attempt 1: write + crash INSIDE commit (after the claim is
+    # created, before the pointer swap)
+    w1 = _LakeSinkWriter({"path": root}, sch, False)
+    msg1 = w1.write(iter(batches))
+
+    real_swap = PosixMetadataIO.swap_pointer
+
+    def crash(self, path, value):
+        raise RuntimeError("injected crash between claim and swap")
+
+    monkeypatch.setattr(PosixMetadataIO, "swap_pointer", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        w1._commit([msg1], f"sink-{w1.sinkid}-0", epoch=0)
+    monkeypatch.setattr(PosixMetadataIO, "swap_pointer", real_swap)
+
+    # restart: fresh writer = fresh random sinkid; same epoch replayed
+    # (rows are NOT stale — the crashed commit never advanced the
+    # watermark). Without adoption this raises ConcurrentCommitError.
+    w2 = _LakeSinkWriter({"path": root}, sch, False)
+    assert w2.sinkid != w1.sinkid
+    msg2 = w2.write(iter(rows.toArrow().to_batches()))
+    w2._commit([msg2], f"sink-{w2.sinkid}-0", epoch=0)
+
+    t = LakeTable.load(spark, root)
+    assert _state(spark, root) == {("c1", 0, "a", 1), ("c2", 0, "b", 2)}
+    assert t.watermark() == 2
+    # the adopted commit carries attempt 1's batch id
+    assert f"sink-{w1.sinkid}-0" in t.applied_batch_ids()
+    # the retry's duplicate files are unreferenced orphans -> vacuumed
+    gc = t.vacuum(keep_snapshots=1)
+    assert gc["files_removed"] >= 1
+    assert _state(spark, root) == {("c1", 0, "a", 1), ("c2", 0, "b", 2)}
+
+
+def test_batch_writer_sequential_appends_both_land(spark, tmp_path):
+    """Two sequential df.write appends under ONE pinned sinkid must
+    BOTH commit — batch ids are attempt-unique, never the sinkid
+    (review finding: a constant id made the second append a silent
+    committed no-op); with_bucket accepts the same file:-scheme root
+    the writer does."""
+    spark.dataSource.register(LakeTableSinkDataSource)
+    root = _mk_table(spark, tmp_path)
+    for lsn, conv, txt in [(1, "c1", "a"), (2, "c2", "b")]:
+        df = with_bucket(
+            _ev(spark, [(lsn, "I", conv, 0, "user", txt, None, TS)]),
+            "file://" + root)  # file: root through the fast path too
+        (df.write.format("lake").mode("append")
+           .option("path", root).option("sinkid", "pinned").save())
+    assert _state(spark, root) == {("c1", 0, "a", 1), ("c2", 0, "b", 2)}

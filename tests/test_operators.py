@@ -1512,6 +1512,22 @@ int main(int argc, char **argv) {
         assert np.array_equal(
             decode_jpeg(open(f"{td}/a.jpg", "rb").read()),
             decode_jpeg(open(f"{td}/h.jpg", "rb").read()))
+        # zero-padded restart flush (review finding): a spec-literal
+        # encoder may leave trailing 0x00 flush bytes before each RSTn
+        # that the QM decoder never consumes — restart() must scan
+        # forward to the marker, not expect it at the current offset
+        raw = open(f"{td}/a.jpg", "rb").read()
+        padded = bytearray()
+        i = 0
+        while i < len(raw):
+            if raw[i] == 0xFF and i + 1 < len(raw) and \
+                    0xD0 <= raw[i + 1] <= 0xD7:
+                padded += b"\x00\x00\x00"
+            padded.append(raw[i])
+            i += 1
+        assert np.array_equal(
+            decode_jpeg(bytes(padded)),
+            decode_jpeg(open(f"{td}/h.jpg", "rb").read()))
         # progressive arithmetic (SOF10, libjpeg 10-scan script)
         subprocess.run([tool, "enc", f"{td}/in.ppm", f"{td}/pa.jpg",
                         "88", "1", "0", "1"], check=True)
