@@ -816,8 +816,36 @@ def test_codec_property_roundtrips():
         img = jc.decode_jpeg(jc.encode_jpeg([y]))
         assert (img == y[:, :, None]).all()
 
+    @given(
+        st.integers(1, 3), st.integers(1, 3),
+        st.lists(st.integers(0, 255), min_size=9, max_size=9),
+    )
+    @settings(max_examples=15, deadline=None)
+    def jpeg_arith_constant_blocks(bh, bw, vals):
+        blocks = np.array(vals[: bh * bw], dtype=np.uint8).reshape(bh, bw)
+        y = np.kron(blocks, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+        img = jc.decode_jpeg(jc.encode_jpeg_arithmetic([y]))
+        assert (img == y[:, :, None]).all()
+        img2 = jc.decode_jpeg(jc.encode_jpeg_progressive_arithmetic([y]))
+        assert (img2 == y[:, :, None]).all()
+
+    @given(st.integers(4, 40), st.integers(4, 40),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=15, deadline=None)
+    def jpeg_arith_equals_huffman(h, w, seed):
+        # entropy coding is lossless: arithmetic and huffman encodings
+        # of ANY image carry identical coefficients -> identical decode
+        rng = np.random.default_rng(seed)
+        planes = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                  for _ in range(3)]
+        ha = jc.decode_jpeg(jc.encode_jpeg_arithmetic(planes))
+        hh = jc.decode_jpeg(jc.encode_jpeg(planes))
+        assert (ha == hh).all()
+
     png_roundtrip()
     jpeg_constant_blocks()
+    jpeg_arith_constant_blocks()
+    jpeg_arith_equals_huffman()
 
 
 def test_wav_sample_sums_integer_exact(spark):
